@@ -1,0 +1,177 @@
+"""Configuration system.
+
+The reference drives training with Hydra (``config/config.yaml`` plus a
+``category/`` group of ``# @package _global_`` overrides; see reference
+``config/config.yaml:1-29``) and re-reads the training-time snapshot at
+inference (reference ``nocs/inference.py:81``).  Hydra is not available in
+this environment, so we provide a small, dependency-free equivalent with the
+same layered semantics:
+
+    defaults (config.py)  <  configs/default.yaml  <  configs/category/<cat>.yaml  <  CLI overrides
+
+A resolved config is snapshotted next to checkpoints as ``config.yaml`` and
+re-loaded at inference, mirroring the reference behaviour.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import yaml
+
+CONFIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+
+
+@dataclass
+class OptConfig:
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+
+
+@dataclass
+class Config:
+    """Training / model / voting hyper-parameters.
+
+    Field names and default values follow the reference Hydra config
+    (reference ``config/config.yaml``) so that category YAMLs stay
+    schema-compatible.
+    """
+
+    category: str = "bowl"
+    batch_size: int = 1
+    res: float = 5e-3
+    max_epoch: int = 200
+    npoint_max: int = 10000
+    use_normal: bool = True
+    regress_right: bool = False
+    tr_num_bins: int = 32
+    rot_num_bins: int = 36
+    up_sym: bool = False
+    right_sym: bool = False
+    z_right: bool = False
+    cls_bins: bool = True
+    knn: int = 60
+    shapenet_root: str = "./data/ShapeNetCore.v2"
+    opt: OptConfig = field(default_factory=OptConfig)
+
+    # per-category statistics (produced by cppf_tpu.data.stats / gen_stats)
+    scale_range: Tuple[float, float] = (0.1851, 0.2381)
+    vote_range: Tuple[float, float] = (0.12, 0.12)
+    scale_mean: Tuple[float, float, float] = (0.07, 0.03, 0.07)
+
+    # --- TPU-specific static-shape knobs (no reference counterpart) -------
+    # Number of sampled point pairs per training sample / inference instance.
+    train_pairs: int = 200000
+    infer_pairs: int = 100000
+    # Padded point budget for jitted pipelines (points beyond are dropped,
+    # fewer are zero-padded + masked).
+    npoint_pad: int = 8192
+    # Static vote-grid edge (voxels). The runtime grid extent stays dynamic
+    # (derived from the point cloud's bounding box as in the reference); the
+    # static edge only bounds the compiled buffer.
+    grid_edge: int = 0  # 0 = derive from scale_range / res at resolve time
+
+    # voting parameters (reference nocs/inference.py:38-42)
+    num_rots: int = 72
+    angle_prec: float = 1.5
+    adaptive_voting: bool = False
+
+    def resolved_grid_edge(self) -> int:
+        if self.grid_edge:
+            return self.grid_edge
+        # The instance crop extent is bounded by the largest object diagonal
+        # plus jitter; one extra voxel mirrors the reference's `+ 1` sizing
+        # (reference nocs/inference.py:195).
+        edge = int(self.scale_range[1] / self.res) + 4
+        # round up to a multiple of 8 to keep TPU-friendly layouts
+        return (edge + 7) // 8 * 8
+
+    @property
+    def out_dim(self) -> int:
+        """PPF head output width (reference train.py:35)."""
+        if self.cls_bins:
+            return 2 * self.tr_num_bins + 2 * self.rot_num_bins + 2 + 3
+        return 2 + 2 + 2 + 3  # regression variant (zero-shot notebook, cell 1)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        return d
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+
+def _apply(cfg: dict, overrides: dict) -> dict:
+    for k, v in overrides.items():
+        if k == "defaults":
+            continue
+        if isinstance(v, dict) and isinstance(cfg.get(k), dict):
+            _apply(cfg[k], v)
+        else:
+            cfg[k] = v
+    return cfg
+
+
+def load_config(
+    category: Optional[str] = None,
+    overrides: Optional[dict] = None,
+    config_root: Optional[str] = None,
+    snapshot: Optional[str] = None,
+) -> Config:
+    """Compose a Config.
+
+    ``snapshot`` (a resolved config.yaml written by ``Config.save``) takes
+    priority over the layered composition — used by inference to re-read the
+    training-time snapshot like the reference does.
+    """
+    root = config_root or CONFIG_ROOT
+    base = dataclasses.asdict(Config())
+    if snapshot is not None:
+        with open(snapshot) as f:
+            _apply(base, yaml.safe_load(f) or {})
+    else:
+        default_path = os.path.join(root, "default.yaml")
+        if os.path.exists(default_path):
+            with open(default_path) as f:
+                _apply(base, yaml.safe_load(f) or {})
+        if category is not None:
+            cat_path = os.path.join(root, "category", f"{category}.yaml")
+            if os.path.exists(cat_path):
+                with open(cat_path) as f:
+                    _apply(base, yaml.safe_load(f) or {})
+            else:
+                base["category"] = category
+    if overrides:
+        _apply(base, overrides)
+
+    opt = OptConfig(**base.pop("opt", {}))
+    known = {f.name for f in dataclasses.fields(Config)}
+    kwargs = {k: v for k, v in base.items() if k in known}
+    for key in ("scale_range", "vote_range", "scale_mean"):
+        if key in kwargs and isinstance(kwargs[key], list):
+            kwargs[key] = tuple(kwargs[key])
+    kwargs["opt"] = opt
+    return Config(**kwargs)
+
+
+def parse_cli_overrides(args: List[str]) -> dict:
+    """Parse ``key=value`` (possibly dotted) CLI overrides, hydra-style."""
+    out: dict = {}
+    for a in args:
+        if "=" not in a:
+            raise ValueError(f"override must look like key=value, got {a!r}")
+        k, v = a.split("=", 1)
+        try:
+            v = yaml.safe_load(v)
+        except yaml.YAMLError:
+            pass
+        cur = out
+        parts = k.split(".")
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return out

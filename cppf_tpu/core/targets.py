@@ -1,0 +1,127 @@
+"""On-device voting-target generation.
+
+Behavioural parity target: reference ``utils/dataset.py:20-60``
+(``generate_target``): for each sampled point pair (a, b) on a canonical
+(NOCS-frame, origin-centred) object the labels are
+
+- ``proj_len``  = a · d̂            (signed projection of a on the pair axis)
+- ``dist2o``    = ‖a − proj_len·d̂‖ (orthogonal distance of the origin/center)
+- ``up/right angle`` = arccos(d̂ · axis), folded by symmetry via min(θ, π−θ)
+- ``aux bits``  = sign of the pair-orientation-canonicalised normal against
+  the up/right axes
+
+All math runs in JAX so targets are generated on-TPU inside the jitted train
+step (no host round-trip), unlike the reference's NumPy DataLoader workers.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cppf_tpu.core.binning import real2prob
+
+
+class VotingTargets(NamedTuple):
+    tr: jnp.ndarray        # [P, 2]  (proj_len, dist2o)
+    rot: jnp.ndarray       # [P, 2]  (up angle, right angle)
+    rot_aux: jnp.ndarray   # [P, 2]  binary orientation bits
+    point_idxs: jnp.ndarray  # [P, 2] int32
+
+
+def sample_pair_idxs(rng: jax.Array, n_points, n_pairs: int) -> jnp.ndarray:
+    """Uniform random pair indices [P, 2] in [0, n_points).
+
+    ``n_points`` may be a traced value (padded clouds): indices are drawn in
+    [0, 1) and scaled, keeping the shape static.
+    """
+    u = jax.random.uniform(rng, (n_pairs, 2))
+    return jnp.minimum((u * n_points).astype(jnp.int32), n_points - 1)
+
+
+def generate_targets(
+    pc: jnp.ndarray,
+    pc_normal: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    up_sym: bool = False,
+    right_sym: bool = False,
+    z_right: bool = False,
+) -> VotingTargets:
+    """Pair voting labels for a canonical-frame point cloud.
+
+    pc/pc_normal: [N, 3]; point_idxs: [P, 2] int.  Symmetry flags are static.
+    """
+    a = pc[point_idxs[:, 0]]
+    b = pc[point_idxs[:, 1]]
+    d = a - b
+    d_unit = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-7)
+    proj_len = jnp.sum(a * d_unit, -1)
+    oc = a - proj_len[..., None] * d_unit
+    dist2o = jnp.linalg.norm(oc, axis=-1)
+    target_tr = jnp.stack([proj_len, dist2o], -1)
+
+    up = jnp.array([0.0, 1.0, 0.0], pc.dtype)
+    right = jnp.array([0.0, 0.0, 1.0] if z_right else [1.0, 0.0, 0.0], pc.dtype)
+
+    up_dot = jnp.clip(jnp.sum(d_unit * up, -1), -1.0, 1.0)
+    up_ang = jnp.arccos(up_dot)
+    if up_sym:
+        up_ang = jnp.minimum(up_ang, jnp.arccos(-up_dot))
+    right_dot = jnp.clip(jnp.sum(d_unit * right, -1), -1.0, 1.0)
+    right_ang = jnp.arccos(right_dot)
+    if right_sym:
+        right_ang = jnp.minimum(right_ang, jnp.arccos(-right_dot))
+    target_rot = jnp.stack([up_ang, right_ang], -1)
+
+    n_a = pc_normal[point_idxs[:, 0]]
+    flip = jnp.where(jnp.sum(n_a * d_unit, -1, keepdims=True) < 0, -1.0, 1.0)
+    n_canon = n_a * flip
+    target_aux = jnp.stack(
+        [
+            (jnp.sum(n_canon * up, -1) > 0).astype(pc.dtype),
+            (jnp.sum(n_canon * right, -1) > 0).astype(pc.dtype),
+        ],
+        -1,
+    )
+    return VotingTargets(target_tr, target_rot, target_aux, point_idxs.astype(jnp.int32))
+
+
+def soft_bin_targets(
+    targets: VotingTargets,
+    vote_range,
+    tr_num_bins: int,
+    rot_num_bins: int,
+):
+    """Soft-bin tr/rot targets (reference utils/dataset.py:232-243).
+
+    tr[:,0] (proj_len) is shifted by +vote_range[0] and clipped to
+    [0, 2*vote_range[0]]; tr[:,1] (dist2o) clipped to [0, vote_range[1]];
+    angles binned over [0, π].
+    Returns (tr_prob [P,2,B], rot_prob [P,2,R]).
+    """
+    v0, v1 = float(vote_range[0]), float(vote_range[1])
+    tr_prob = jnp.stack(
+        [
+            real2prob(jnp.clip(targets.tr[:, 0] + v0, 0.0, 2 * v0), 2 * v0, tr_num_bins),
+            real2prob(jnp.clip(targets.tr[:, 1], 0.0, v1), v1, tr_num_bins),
+        ],
+        1,
+    )
+    rot_prob = jnp.stack(
+        [
+            real2prob(targets.rot[:, 0], jnp.pi, rot_num_bins),
+            real2prob(targets.rot[:, 1], jnp.pi, rot_num_bins),
+        ],
+        1,
+    )
+    return tr_prob, rot_prob
+
+
+def scale_target(bound_nocs: jnp.ndarray, scale: jnp.ndarray, scale_mean) -> jnp.ndarray:
+    """Log-scale residual label (reference utils/dataset.py:246-248).
+
+    ``bound_nocs`` is the NOCS-frame mesh extent (x/z already swapped by the
+    caller), ``scale`` the sampled uniform scale.
+    """
+    return jnp.log(bound_nocs / 2 * scale) - jnp.log(jnp.asarray(scale_mean, bound_nocs.dtype))

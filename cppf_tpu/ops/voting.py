@@ -1,0 +1,297 @@
+"""Hough-voting ops: the TPU-native equivalents of the reference CUDA kernels.
+
+Reference kernels (CuPy RawKernel, ``models/voting.py``):
+- ``ppf_voting``   (models/voting.py:4-67)    → :func:`ppf_vote`
+- ``backvote``     (models/voting.py:70-113)  → :func:`backvote`
+- ``rot_voting``   (models/voting.py:115-148) → :func:`rot_vote`
+- ``findpeak``     (models/voting.py:150-172, dead + buggy upstream)
+                                              → ``cppf_tpu.ops.peaks``
+
+Geometry recap: a pair (a, b) with predicted (proj_len, odist) constrains the
+object center to a circle of radius ``odist`` around ``c = a − proj_len·âb``
+in the plane ⟂ âb.  ``ppf_vote`` sweeps ``n_rots`` samples of that circle and
+trilinearly splats weighted votes into a 3D grid; ``backvote`` re-sweeps and
+keeps pairs whose circle passes near the estimated center; ``rot_vote``
+expands a predicted pair-to-axis angle ψ into candidate axis directions on a
+cone around âb.
+
+Shapes are static: the vote grid is a compile-time box (``grid_shape``) while
+the *runtime* grid extent (``grid_dims``, derived from the instance bounding
+box exactly as in the reference) stays a traced value — votes outside the
+runtime extent are masked, so results equal the reference's dynamically-sized
+grid embedded in the static buffer.
+
+Accumulation uses XLA scatter-add (deterministic, unlike the reference's
+atomicAdd float races), chunked over pairs to bound memory.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+TWO_PI = 6.283185307179586
+
+
+def pair_frames(pc: jnp.ndarray, point_idxs: jnp.ndarray):
+    """Shared per-pair geometry.
+
+    Returns (a, ab_unit, degenerate_mask, co_unit) where ``co_unit`` is the
+    first cone-basis vector: normalised (0, −âb.z, âb.y), falling back to
+    (−âb.y, âb.x, 0) when âb ≈ ±x (reference models/voting.py:26-28).
+    """
+    a = pc[point_idxs[:, 0]]
+    b = pc[point_idxs[:, 1]]
+    ab = a - b
+    ab_len = jnp.linalg.norm(ab, axis=-1)
+    degenerate = ab_len < 1e-7
+    ab_unit = ab / (ab_len + 1e-7)[..., None]
+
+    co = jnp.stack([jnp.zeros_like(ab_unit[:, 0]), -ab_unit[:, 2], ab_unit[:, 1]], -1)
+    co_alt = jnp.stack([-ab_unit[:, 1], ab_unit[:, 0], jnp.zeros_like(ab_unit[:, 0])], -1)
+    co_len = jnp.linalg.norm(co, axis=-1)
+    co = jnp.where((co_len < 1e-7)[:, None], co_alt, co)
+    co_unit = co / (jnp.linalg.norm(co, axis=-1) + 1e-7)[..., None]
+    return a, ab_unit, degenerate, co_unit
+
+
+def _circle_points(a, ab_unit, co_unit, proj_len, odist, n_rots: int, m):
+    """Candidate centers [P, R, 3] plus offsets and a per-sample validity mask.
+
+    ``m`` is the per-pair number of swept rotations (adaptive count); sample i
+    uses angle i·2π/m and is valid iff i < m.
+    """
+    c = a - ab_unit * proj_len[..., None]
+    x = co_unit * odist[..., None]
+    y = jnp.cross(x, ab_unit)
+    i = jnp.arange(n_rots, dtype=a.dtype)
+    angle = i[None, :] * (TWO_PI / jnp.maximum(m, 1).astype(a.dtype))[:, None]
+    rot_valid = i[None, :] < m[:, None]
+    offset = jnp.cos(angle)[..., None] * x[:, None, :] + jnp.sin(angle)[..., None] * y[:, None, :]
+    centers = c[:, None, :] + offset
+    return centers, offset, rot_valid
+
+
+def _adaptive_rots(odist, res, n_rots: int, adaptive: bool):
+    if adaptive:
+        return jnp.minimum((odist / res * TWO_PI).astype(jnp.int32), n_rots)
+    return jnp.full(odist.shape, n_rots, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "n_rots", "adaptive", "chunk"))
+def ppf_vote(
+    pc: jnp.ndarray,
+    preds_tr: jnp.ndarray,
+    probs: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    corner: jnp.ndarray,
+    res,
+    grid_dims: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    n_rots: int = 72,
+    adaptive: bool = False,
+    pair_mask: jnp.ndarray | None = None,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Center-voting grid accumulation (reference models/voting.py:4-67).
+
+    pc [N,3]; preds_tr [P,2] = (proj_len, odist); probs [N]; point_idxs [P,2];
+    corner [3] world coords of voxel (0,0,0); grid_dims [3] runtime extent
+    (int); grid_shape static padded extent.  Returns grid [gx, gy, gz] f32.
+    """
+    gx, gy, gz = grid_shape
+    p = point_idxs.shape[0]
+    n_chunks = (p + chunk - 1) // chunk
+    p_pad = n_chunks * chunk
+    pad = p_pad - p
+    point_idxs = jnp.pad(point_idxs, ((0, pad), (0, 0)))
+    preds_tr = jnp.pad(preds_tr, ((0, pad), (0, 0)))
+    if pair_mask is None:
+        pair_mask = jnp.ones((p,), dtype=bool)
+    pair_mask = jnp.pad(pair_mask, (0, pad))
+    res = jnp.asarray(res, pc.dtype)
+    dims_f = grid_dims.astype(pc.dtype)
+
+    def body(k, grid_flat):
+        sl = lambda arr: lax.dynamic_slice_in_dim(arr, k * chunk, chunk)
+        idxs = sl(point_idxs)
+        tr = sl(preds_tr)
+        pm = sl(pair_mask)
+        a, ab_unit, degenerate, co_unit = pair_frames(pc, idxs)
+        proj_len, odist = tr[:, 0], tr[:, 1]
+        m = _adaptive_rots(odist, res, n_rots, adaptive)
+        centers, _, rot_valid = _circle_points(a, ab_unit, co_unit, proj_len, odist, n_rots, m)
+
+        g = (centers - corner) / res                      # [C, R, 3]
+        in_bounds = jnp.all(
+            jnp.logical_and(g >= 0.01, g < dims_f - 1.01), axis=-1
+        )
+        valid = rot_valid & in_bounds & (~degenerate)[:, None] & pm[:, None]
+
+        floor = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, jnp.array([gx - 2, gy - 2, gz - 2]))
+        r = g - floor
+        w = probs[idxs[:, 0]]
+        w = jnp.maximum(w, probs[idxs[:, 1]])
+        w = jnp.where(valid, w[:, None], 0.0)             # [C, R]
+
+        base = (floor[..., 0] * gy + floor[..., 1]) * gz + floor[..., 2]
+        wx = jnp.stack([1.0 - r[..., 0], r[..., 0]], -1)  # [C, R, 2]
+        wy = jnp.stack([1.0 - r[..., 1], r[..., 1]], -1)
+        wz = jnp.stack([1.0 - r[..., 2], r[..., 2]], -1)
+        # [C, R, 2, 2, 2] corner weights, ids
+        w8 = wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
+        dx = jnp.arange(2) * (gy * gz)
+        dy = jnp.arange(2) * gz
+        dz = jnp.arange(2)
+        id8 = base[..., None, None, None] + dx[:, None, None] + dy[None, :, None] + dz[None, None, :]
+        vals = (w8 * w[..., None, None, None]).reshape(-1)
+        ids = id8.reshape(-1)
+        return grid_flat.at[ids].add(vals, mode="drop")
+
+    grid_flat = jnp.zeros((gx * gy * gz,), jnp.float32)
+    grid_flat = lax.fori_loop(0, n_chunks, body, grid_flat)
+    return grid_flat.reshape(gx, gy, gz)
+
+
+def grid_argmax(grid: jnp.ndarray, corner: jnp.ndarray, res) -> jnp.ndarray:
+    """World coordinates of the highest-vote voxel
+    (reference nocs/inference.py:208-211)."""
+    flat_idx = jnp.argmax(grid)
+    gy, gz = grid.shape[1], grid.shape[2]
+    ix = flat_idx // (gy * gz)
+    iy = (flat_idx % (gy * gz)) // gz
+    iz = flat_idx % gz
+    return corner + jnp.stack([ix, iy, iz]).astype(grid.dtype) * res
+
+
+@partial(jax.jit, static_argnames=("n_rots", "chunk"))
+def backvote(
+    pc: jnp.ndarray,
+    preds_tr: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    corner: jnp.ndarray,
+    res,
+    grid_dims: jnp.ndarray,
+    pred_center: jnp.ndarray,
+    tol,
+    n_rots: int = 72,
+    chunk: int = 8192,
+):
+    """Center-consistency filter (reference models/voting.py:70-113).
+
+    For each pair, sweep its (always-adaptive) vote circle; if some sample
+    lands within ``tol`` of ``pred_center`` (and inside the grid), emit
+    ``-offset`` of the first such sample, else zeros.  Returns
+    (offsets [P,3], mask [P] bool) where mask = any hit — the quantity the
+    reference derives as ``np.any(oc != 0, -1)`` (nocs/inference.py:230).
+    """
+    p = point_idxs.shape[0]
+    n_chunks = (p + chunk - 1) // chunk
+    pad = n_chunks * chunk - p
+    point_idxs_p = jnp.pad(point_idxs, ((0, pad), (0, 0)))
+    preds_tr_p = jnp.pad(preds_tr, ((0, pad), (0, 0)))
+    res = jnp.asarray(res, pc.dtype)
+    dims_f = grid_dims.astype(pc.dtype)
+
+    def body(args):
+        idxs, tr = args
+        a, ab_unit, degenerate, co_unit = pair_frames(pc, idxs)
+        proj_len, odist = tr[:, 0], tr[:, 1]
+        m = _adaptive_rots(odist, res, n_rots, adaptive=True)
+        centers, offsets, rot_valid = _circle_points(a, ab_unit, co_unit, proj_len, odist, n_rots, m)
+        g = (centers - corner) / res
+        in_bounds = jnp.all(jnp.logical_and(g >= 0.0, g < dims_f - 1.0), axis=-1)
+        near = jnp.linalg.norm(centers - pred_center, axis=-1) <= tol
+        hit = rot_valid & in_bounds & near & (~degenerate)[:, None]   # [C, R]
+        any_hit = jnp.any(hit, -1)
+        first = jnp.argmax(hit, -1)
+        off = -jnp.take_along_axis(offsets, first[:, None, None], 1)[:, 0, :]
+        off = jnp.where(any_hit[:, None], off, 0.0)
+        return off, any_hit
+
+    blocks = (
+        point_idxs_p.reshape(n_chunks, chunk, 2),
+        preds_tr_p.reshape(n_chunks, chunk, 2),
+    )
+    off, mask = lax.map(body, blocks)
+    return off.reshape(-1, 3)[:p], mask.reshape(-1)[:p]
+
+
+@partial(jax.jit, static_argnames=("n_rots", "chunk"))
+def rot_vote(
+    pc: jnp.ndarray,
+    preds_rot: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    n_rots: int = 72,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Candidate axis expansion (reference models/voting.py:115-148).
+
+    preds_rot [P] is the predicted pair-axis-to-object-axis angle ψ; each
+    pair yields ``n_rots`` unit axes ``normalize(tan ψ · offset ± âb)`` on a
+    cone around âb.  Degenerate pairs yield zeros (as the reference leaves
+    its zero-initialised output untouched).
+    """
+    p = point_idxs.shape[0]
+    n_chunks = (p + chunk - 1) // chunk
+    pad = n_chunks * chunk - p
+    point_idxs_p = jnp.pad(point_idxs, ((0, pad), (0, 0)))
+    preds_rot_p = jnp.pad(preds_rot, (0, pad))
+
+    def body(args):
+        idxs, rot = args
+        a, ab_unit, degenerate, co_unit = pair_frames(pc, idxs)
+        x = co_unit
+        y = jnp.cross(x, ab_unit)
+        i = jnp.arange(n_rots, dtype=pc.dtype)
+        angle = i * (TWO_PI / n_rots)
+        offset = (
+            jnp.cos(angle)[None, :, None] * x[:, None, :]
+            + jnp.sin(angle)[None, :, None] * y[:, None, :]
+        )
+        t = jnp.tan(rot)
+        sign_ab = jnp.where(t > 0, 1.0, -1.0)[:, None] * ab_unit
+        up = t[:, None, None] * offset + sign_ab[:, None, :]
+        up = up / (jnp.linalg.norm(up, axis=-1, keepdims=True) + 1e-7)
+        return jnp.where(degenerate[:, None, None], 0.0, up)
+
+    blocks = (
+        point_idxs_p.reshape(n_chunks, chunk, 2),
+        preds_rot_p.reshape(n_chunks, chunk),
+    )
+    out = lax.map(body, blocks)
+    return out.reshape(-1, n_rots, 3)[:p]
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def sphere_bin_count(
+    candidates: jnp.ndarray,
+    sphere_pts: jnp.ndarray,
+    cos_tol,
+    weights: jnp.ndarray | None = None,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Count candidate axes within ``cos_tol`` of each sphere direction
+    (reference nocs/inference.py:276-284): one large [M,3]x[3,S] matmul,
+    chunked over M so the [M,S] cosine matrix never fully materialises.
+    """
+    m = candidates.shape[0]
+    n_chunks = (m + chunk - 1) // chunk
+    pad = n_chunks * chunk - m
+    cand = jnp.pad(candidates, ((0, pad), (0, 0)))
+    if weights is None:
+        weights = jnp.ones((m,), jnp.float32)
+    w = jnp.pad(weights, (0, pad))
+    sph_t = sphere_pts.T.astype(jnp.float32)
+
+    def body(k, counts):
+        c = lax.dynamic_slice_in_dim(cand, k * chunk, chunk)
+        wk = lax.dynamic_slice_in_dim(w, k * chunk, chunk)
+        cos = c.astype(jnp.float32) @ sph_t
+        return counts + jnp.sum((cos > cos_tol) * wk[:, None], 0)
+
+    counts = jnp.zeros((sphere_pts.shape[0],), jnp.float32)
+    return lax.fori_loop(0, n_chunks, body, counts)

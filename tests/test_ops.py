@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf_tpu.ops.knn import knn_indices, pairwise_dist
+from cppf_tpu.ops.normals import estimate_normals
+from cppf_tpu.ops.quantize import voxel_downsample, voxel_downsample_np
+from cppf_tpu.ops.ransac import segment_plane
+from cppf_tpu.ops.peaks import extract_peaks, gaussian_blur3d, peak_contrast
+
+
+def test_pairwise_dist(rng):
+    a = rng.normal(size=(40, 3)).astype(np.float32)
+    b = rng.normal(size=(30, 3)).astype(np.float32)
+    d = np.asarray(pairwise_dist(jnp.array(a), jnp.array(b)))
+    ref = np.linalg.norm(a[:, None] - b[None], axis=-1)
+    np.testing.assert_allclose(d, ref, atol=1e-4)
+
+
+def test_knn_matches_bruteforce(rng):
+    pc = rng.normal(size=(333, 3)).astype(np.float32)
+    k = 12
+    idx = np.asarray(knn_indices(jnp.array(pc), k, chunk=128))
+    d = np.linalg.norm(pc[:, None] - pc[None], axis=-1)
+    ref_sets = np.argsort(d, axis=-1)[:, :k]
+    for i in range(333):
+        # compare as sets of distances (ties may reorder indices)
+        np.testing.assert_allclose(
+            np.sort(d[i, idx[i]]), np.sort(d[i, ref_sets[i]]), atol=1e-4
+        )
+
+
+def test_knn_respects_valid_mask(rng):
+    pc = rng.normal(size=(50, 3)).astype(np.float32)
+    mask = np.ones(50, bool)
+    mask[40:] = False
+    idx = np.asarray(knn_indices(jnp.array(pc), 8, jnp.array(mask), chunk=32))
+    assert idx[:40].max() < 40
+
+
+def test_normals_on_plane(rng):
+    xy = rng.uniform(-1, 1, size=(400, 2))
+    pc = np.concatenate([xy, np.zeros((400, 1))], -1).astype(np.float32)
+    n = np.asarray(estimate_normals(jnp.array(pc), knn=16))
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+
+
+def test_normals_on_sphere(rng):
+    v = rng.normal(size=(2000, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pc = v.astype(np.float32)
+    n = np.asarray(estimate_normals(jnp.array(pc), knn=24))
+    cos = np.abs(np.sum(n * v, -1))
+    assert np.mean(cos) > 0.99
+
+
+def test_voxel_downsample_matches_host(rng):
+    pc = (rng.normal(size=(500, 3)) * 0.05).astype(np.float32)
+    res = 0.02
+    host = voxel_downsample_np(pc, res)
+    sel, n_unique = voxel_downsample(jnp.array(pc), res)
+    sel = np.asarray(sel)[: int(n_unique)]
+    np.testing.assert_array_equal(np.sort(sel), np.sort(host))
+
+
+def test_voxel_downsample_dedups():
+    pc = np.array([[0.0, 0, 0], [0.001, 0, 0], [0.05, 0, 0]], np.float32)
+    sel, n = voxel_downsample(jnp.array(pc), 0.01)
+    assert int(n) == 2
+    assert set(np.asarray(sel)[:2].tolist()) == {0, 2}
+
+
+def test_voxel_downsample_with_padding(rng):
+    pc = (rng.normal(size=(64, 3)) * 0.05).astype(np.float32)
+    pc_pad = np.concatenate([pc, np.zeros((32, 3), np.float32)])
+    mask = np.arange(96) < 64
+    sel, n = voxel_downsample(jnp.array(pc_pad), 0.02, jnp.array(mask))
+    host = voxel_downsample_np(pc, 0.02)
+    np.testing.assert_array_equal(np.sort(np.asarray(sel)[: int(n)]), np.sort(host))
+
+
+def test_segment_plane(rng):
+    # dominant plane + outlier blob
+    xy = rng.uniform(-1, 1, size=(400, 2))
+    plane_pts = np.stack([xy[:, 0], xy[:, 1], 0.002 * rng.normal(size=400)], -1)
+    blob = rng.normal(size=(60, 3)) * 0.3 + np.array([0, 0, 1.0])
+    pc = np.concatenate([plane_pts, blob]).astype(np.float32)
+    plane, inliers = segment_plane(jax.random.PRNGKey(0), jnp.array(pc), 0.01, 100)
+    plane = np.asarray(plane)
+    assert abs(abs(plane[2]) - 1.0) < 0.02          # normal ≈ ±z
+    assert np.asarray(inliers)[:400].mean() > 0.95  # plane points found
+    assert np.asarray(inliers)[400:].mean() < 0.1
+
+
+def test_peak_contrast_flat_zero():
+    g = jnp.ones((8, 8, 8))
+    np.testing.assert_allclose(np.asarray(peak_contrast(g)), 0.0, atol=1e-6)
+
+
+def test_extract_peaks_two_modes():
+    g = np.zeros((32, 32, 32), np.float32)
+    g[8, 8, 8] = 10.0
+    g[24, 20, 16] = 6.0
+    g = np.asarray(gaussian_blur3d(jnp.array(g), 1.5))
+    coords, scores, ok = extract_peaks(jnp.array(g), max_peaks=4, suppress_radius=6)
+    coords = np.asarray(coords)
+    assert (coords[0] == [8, 8, 8]).all()
+    assert (coords[1] == [24, 20, 16]).all()
+    assert bool(ok[0]) and bool(ok[1])

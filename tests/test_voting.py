@@ -1,0 +1,128 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cppf_tpu.ops.voting import (
+    backvote,
+    grid_argmax,
+    ppf_vote,
+    rot_vote,
+    sphere_bin_count,
+)
+from cppf_tpu.core.geometry import fibonacci_sphere
+
+from oracles import backvote_np, ppf_vote_np, rot_vote_np
+
+
+def _instance(rng, n=80, p=256):
+    pc = (rng.uniform(size=(n, 3)) * 0.2 + np.array([0.1, -0.05, 0.6])).astype(np.float32)
+    idxs = rng.integers(0, n, size=(p, 2)).astype(np.int32)
+    # some degenerate pairs
+    idxs[:5, 1] = idxs[:5, 0]
+    corner = pc.min(0)
+    res = 0.01
+    dims = ((pc.max(0) - corner) / res).astype(np.int32) + 1
+    a = pc[idxs[:, 0]]
+    b = pc[idxs[:, 1]]
+    u = (a - b) / (np.linalg.norm(a - b, axis=-1, keepdims=True) + 1e-7)
+    center = pc.mean(0)
+    proj = np.sum((a - center) * u, -1)
+    odist = np.linalg.norm(a - center - proj[:, None] * u, axis=-1)
+    preds_tr = np.stack([proj, odist], -1).astype(np.float32)
+    return pc, idxs, corner, res, dims, preds_tr, center
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_ppf_vote_matches_oracle(rng, adaptive):
+    pc, idxs, corner, res, dims, preds_tr, _ = _instance(rng)
+    probs = np.ones(pc.shape[0], np.float32)
+    n_rots = 24
+    gshape = (int(dims[0]) + 3, int(dims[1]) + 2, int(dims[2]) + 5)  # padded
+    grid = ppf_vote(
+        jnp.array(pc), jnp.array(preds_tr), jnp.array(probs), jnp.array(idxs),
+        jnp.array(corner), res, jnp.array(dims), gshape, n_rots=n_rots,
+        adaptive=adaptive, chunk=64,
+    )
+    oracle = ppf_vote_np(pc, preds_tr, probs, idxs, corner, res, dims, n_rots, adaptive)
+    got = np.asarray(grid)[: dims[0], : dims[1], : dims[2]]
+    np.testing.assert_allclose(got, oracle, atol=2e-3)
+    # nothing voted outside the runtime extent
+    assert np.asarray(grid)[dims[0]:].sum() == 0
+    assert np.asarray(grid)[:, dims[1]:].sum() == 0
+
+
+def test_ppf_vote_finds_true_center(rng):
+    """With ground-truth (proj_len, odist) the argmax voxel must hit the true
+    center within one voxel (the SURVEY §4 integration oracle)."""
+    n = 200
+    theta = rng.uniform(0, 2 * np.pi, n)
+    z = rng.uniform(-0.1, 0.1, n)
+    pc = np.stack([0.1 * np.cos(theta), z, 0.1 * np.sin(theta)], -1).astype(np.float32)
+    center = np.array([0.3, -0.2, 0.9], np.float32)
+    pc = pc + center
+    idxs = rng.integers(0, n, size=(4000, 2)).astype(np.int32)
+    a, b = pc[idxs[:, 0]], pc[idxs[:, 1]]
+    u = (a - b) / (np.linalg.norm(a - b, axis=-1, keepdims=True) + 1e-7)
+    proj = np.sum((a - center) * u, -1)
+    odist = np.linalg.norm(a - center - proj[:, None] * u, axis=-1)
+    preds_tr = np.stack([proj, odist], -1).astype(np.float32)
+
+    res = 0.005
+    pad = 0.05
+    corner = pc.min(0) - pad
+    dims = ((pc.max(0) + pad - corner) / res).astype(np.int32) + 1
+    gshape = tuple(int(d) for d in dims)
+    grid = ppf_vote(
+        jnp.array(pc), jnp.array(preds_tr), jnp.ones(n), jnp.array(idxs),
+        jnp.array(corner), res, jnp.array(dims), gshape, n_rots=36, chunk=512,
+    )
+    t_est = np.asarray(grid_argmax(grid, jnp.array(corner), res))
+    assert np.linalg.norm(t_est - center) < 1.8 * res
+
+
+def test_backvote_matches_oracle(rng):
+    pc, idxs, corner, res, dims, preds_tr, center = _instance(rng)
+    tol = 3 * res
+    off, mask = backvote(
+        jnp.array(pc), jnp.array(preds_tr), jnp.array(idxs), jnp.array(corner),
+        res, jnp.array(dims), jnp.array(center), tol, n_rots=24, chunk=64,
+    )
+    oracle = backvote_np(pc, preds_tr, idxs, corner, res, dims, center, tol, 24)
+    np.testing.assert_allclose(np.asarray(off), oracle, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(mask), np.any(oracle != 0, -1))
+
+
+def test_rot_vote_matches_oracle(rng):
+    pc, idxs, *_ = _instance(rng, n=60, p=128)
+    preds_rot = rng.uniform(0, np.pi, 128).astype(np.float32)
+    out = rot_vote(jnp.array(pc), jnp.array(preds_rot), jnp.array(idxs), n_rots=16, chunk=32)
+    oracle = rot_vote_np(pc, preds_rot, idxs, 16)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-4)
+
+
+def test_rot_vote_recovers_axis(rng):
+    """Candidate-axis voting with GT angles peaks at the true object axis."""
+    n = 150
+    pc = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    true_up = np.array([0.0, 1.0, 0.0], np.float32)
+    idxs = rng.integers(0, n, size=(3000, 2)).astype(np.int32)
+    a, b = pc[idxs[:, 0]], pc[idxs[:, 1]]
+    u = (a - b) / (np.linalg.norm(a - b, axis=-1, keepdims=True) + 1e-7)
+    angles = np.arccos(np.clip(np.sum(u * true_up, -1), -1, 1)).astype(np.float32)
+    cands = np.asarray(rot_vote(jnp.array(pc), jnp.array(angles), jnp.array(idxs), n_rots=72))
+    sphere = fibonacci_sphere(2000).astype(np.float32)
+    counts = np.asarray(
+        sphere_bin_count(jnp.array(cands.reshape(-1, 3)), jnp.array(sphere), np.cos(np.deg2rad(3.0)), chunk=4096)
+    )
+    best = sphere[np.argmax(counts)]
+    assert min(np.linalg.norm(best - true_up), np.linalg.norm(best + true_up)) < 0.12
+
+
+def test_sphere_bin_count_matches_dense(rng):
+    cands = rng.normal(size=(500, 3)).astype(np.float32)
+    cands /= np.linalg.norm(cands, axis=-1, keepdims=True)
+    sphere = fibonacci_sphere(300).astype(np.float32)
+    tol = np.cos(np.deg2rad(10))
+    dense = ((cands @ sphere.T) > tol).sum(0)
+    ours = np.asarray(sphere_bin_count(jnp.array(cands), jnp.array(sphere), tol, chunk=128))
+    np.testing.assert_array_equal(ours.astype(int), dense)
