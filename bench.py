@@ -1,0 +1,244 @@
+"""Benchmark: point-pairs/sec and ms/object-pose of the full jitted 9D pose
+pipeline on the current accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline: the reference publishes no numbers (BASELINE.md), and its CuPy/CUDA
+path cannot run here, so ``vs_baseline`` compares against a *measured*
+vectorised host-NumPy implementation of the identical per-instance workload
+(network forward + center vote + backvote + axis vote + sphere binning) run
+in this same process — a transparent, reproducible stand-in recorded under
+``baseline_*`` keys.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Vectorised host-NumPy baseline of the same math
+# ---------------------------------------------------------------------------
+
+def _np_layernorm(x, scale, bias, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def _np_dense(x, p):
+    return x @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+
+
+def _np_point_encoder(params, pc, normals, nbr_idx):
+    p = params["params"]
+    nbrs = pc[nbr_idx]
+    centred = nbrs - pc[:, None]
+    dist = np.linalg.norm(centred, axis=-1, keepdims=True)
+    ncos = np.sum(normals[nbr_idx] * normals[:, None], -1, keepdims=True)
+    feat_in = np.concatenate([dist, ncos], -1)
+
+    r_mean = nbrs.mean(-2, keepdims=True)
+    l1, l2, l3 = r_mean - nbrs, nbrs - pc[:, None], pc[:, None] - r_mean
+    n1 = np.linalg.norm(l1, axis=-1, keepdims=True)
+    n2 = np.linalg.norm(l2, axis=-1, keepdims=True)
+    n3 = np.broadcast_to(np.linalg.norm(l3, axis=-1, keepdims=True), n2.shape)
+    rif = np.concatenate(
+        [n1, n2, n3,
+         (l1 * l2).sum(-1, keepdims=True) / (n1 * n2 + 1e-7),
+         (l2 * l3).sum(-1, keepdims=True) / (n2 * n3 + 1e-7),
+         (l3 * l1).sum(-1, keepdims=True) / (n3 * n1 + 1e-7)], -1)
+
+    k = p["spconv0"]["kernel"]
+    x = rif
+    for i in range(4):
+        x = np.maximum(_np_layernorm(_np_dense(x, k[f"lin{i}"]), k[f"ln{i}"]["scale"], k[f"ln{i}"]["bias"]), 0)
+    kern = _np_dense(x, k["lin_out"])
+    contracted = np.einsum("nkr,nki->nri", kern, feat_in).reshape(pc.shape[0], -1)
+    out = _np_dense(contracted, p["spconv0"]["outnet"])
+    out = _np_layernorm(out, p["spconv0"]["norm"]["scale"], p["spconv0"]["norm"]["bias"])
+    tran = _np_dense(out, p["aggr0"]["linear"])
+    glob = np.broadcast_to(tran.max(0, keepdims=True), tran.shape)
+    return np.concatenate([out, glob], -1)
+
+
+def _np_ppf_head(params, pc, normals, feat, idxs):
+    p = params["params"]
+    a, b = idxs[:, 0], idxs[:, 1]
+    d = pc[a] - pc[b]
+    dn = np.linalg.norm(d, axis=-1)
+    du = d / (dn[:, None] + 1e-7)
+    ppf = np.stack(
+        [np.sum(normals[a] * du, -1), np.sum(normals[b] * du, -1),
+         np.sum(normals[a] * normals[b], -1), dn], -1)
+    x = np.concatenate([feat[a], feat[b], ppf], -1)
+    for i in range(3):
+        lp = p[f"res{i}"]
+        skip = _np_dense(x, lp["fc0"]) if "fc0" in lp else x
+        x = np.maximum(_np_dense(x, lp["fc1"]), 0)
+        x = _np_dense(x, lp["fc2"]) + skip
+    return _np_dense(x, p["final"])
+
+
+def _np_vote_pipeline(pc, normals, preds, idxs, cfg, sphere, rng):
+    """Vectorised NumPy center vote + backvote + rot vote + sphere binning."""
+    B, R = cfg.tr_num_bins, cfg.rot_num_bins
+    v0, v1 = cfg.vote_range
+    n_rots = 72
+
+    def softmax_sample(logits):
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        c = p.cumsum(-1)
+        u = rng.uniform(size=(len(p), 1))
+        return (u > c).sum(-1)
+
+    tr_logits = preds[:, : 2 * B].reshape(-1, 2, B)
+    proj = softmax_sample(tr_logits[:, 0]) / (B - 1) * 2 * v0 - v0
+    odist = softmax_sample(tr_logits[:, 1]) / (B - 1) * v1
+
+    a, b = pc[idxs[:, 0]], pc[idxs[:, 1]]
+    ab = a - b
+    abl = np.linalg.norm(ab, axis=-1)
+    good = abl > 1e-7
+    abu = ab / (abl + 1e-7)[:, None]
+    co = np.stack([np.zeros_like(abu[:, 0]), -abu[:, 2], abu[:, 1]], -1)
+    alt = np.stack([-abu[:, 1], abu[:, 0], np.zeros_like(abu[:, 0])], -1)
+    co = np.where((np.linalg.norm(co, axis=-1) < 1e-7)[:, None], alt, co)
+    co /= (np.linalg.norm(co, axis=-1) + 1e-7)[:, None]
+    c = a - abu * proj[:, None]
+    x = co * odist[:, None]
+    y = np.cross(x, abu)
+    ang = np.arange(n_rots) * 2 * np.pi / n_rots
+    centers = (c[:, None] + np.cos(ang)[None, :, None] * x[:, None]
+               + np.sin(ang)[None, :, None] * y[:, None])
+
+    corner = pc.min(0)
+    dims = ((pc.max(0) - corner) / cfg.res).astype(np.int32) + 1
+    g = (centers - corner) / cfg.res
+    ok = good[:, None] & np.all((g >= 0.01) & (g < dims - 1.01), -1)
+    f = np.floor(g).astype(np.int64)
+    r = g - f
+    grid = np.zeros(tuple(dims), np.float32)
+    gyz, gz = dims[1] * dims[2], dims[2]
+    base = (f[..., 0] * dims[1] + f[..., 1]) * dims[2] + f[..., 2]
+    w = ok.astype(np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                wc = (np.where(dx, r[..., 0], 1 - r[..., 0])
+                      * np.where(dy, r[..., 1], 1 - r[..., 1])
+                      * np.where(dz, r[..., 2], 1 - r[..., 2]) * w)
+                ids = np.clip(base + dx * gyz + dy * gz + dz, 0, grid.size - 1)
+                np.add.at(grid.reshape(-1), ids.reshape(-1), wc.reshape(-1))
+    T_est = corner + np.array(np.unravel_index(grid.argmax(), grid.shape)) * cfg.res
+
+    # backvote
+    near = np.linalg.norm(centers - T_est, axis=-1) <= 3 * cfg.res
+    mask = (near & ok).any(-1)
+
+    # rot vote + sphere binning on 10k subsample
+    up_logits = preds[:, 2 * B : 2 * B + R]
+    angles = softmax_sample(up_logits) / (R - 1) * np.pi
+    keep = np.where(mask)[0]
+    sub = keep[rng.integers(0, len(keep), min(10000, len(keep)))]
+    t = np.tan(angles[sub])
+    offs = (np.cos(ang)[None, :, None] * co[sub][:, None]
+            + np.sin(ang)[None, :, None] * np.cross(co[sub], abu[sub])[:, None])
+    up = t[:, None, None] * offs + np.where(t > 0, 1, -1)[:, None, None] * abu[sub][:, None]
+    up /= np.linalg.norm(up, axis=-1, keepdims=True) + 1e-7
+    cos = up.reshape(-1, 3) @ sphere.T
+    counts = (cos > np.cos(np.deg2rad(1.5))).sum(0)
+    best = sphere[counts.argmax()]
+    return T_est, best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cppf_tpu.config import load_config
+    from cppf_tpu.data.synthetic import PRIMITIVES, sample_surface
+    from cppf_tpu.ops.knn import knn_indices
+    from cppf_tpu.pipeline.pose import PoseConfig, estimate_pose, make_models
+    from cppf_tpu.pipeline.preprocess import preprocess_cloud
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev}")
+    cfg = load_config("bottle")
+    rng = np.random.default_rng(0)
+    N_PAIRS = 100000
+
+    pc_cam = sample_surface(PRIMITIVES["bottle"](), 8000, rng) + np.float32([0.1, -0.05, 0.7])
+    pad = np.zeros((8192, 3), np.float32)
+    pad[:8000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(0), jnp.array(pad), 8000, cfg.res,
+                           npoint_pad=4096, knn=cfg.knn)
+    n = int(pre.n_valid)
+
+    pcfg = PoseConfig.from_config(cfg, n_pairs=N_PAIRS)
+    point_enc, ppf_enc = make_models(cfg)
+    nbr = knn_indices(pre.pc, cfg.knn)
+    p_pt = point_enc.init(jax.random.PRNGKey(1), pre.pc, pre.normals, nbr)
+    feat = point_enc.apply(p_pt, pre.pc, pre.normals, nbr)
+    p_pf = ppf_enc.init(jax.random.PRNGKey(2), pre.pc, pre.normals, feat,
+                        jnp.zeros((8, 2), jnp.int32))
+    sphere = jnp.array(pcfg.sphere_points())
+
+    # --- ours: full pipeline on the accelerator -----------------------------
+    def run(i):
+        out = estimate_pose(jax.random.PRNGKey(10 + i), p_pt, p_pf, pre.pc,
+                            pre.normals, pre.n_valid, sphere, pcfg)
+        jax.block_until_ready(out.T)
+        return out
+
+    t0 = time.time()
+    run(0)
+    _log(f"compile+first run: {time.time() - t0:.1f}s")
+    iters = 5
+    t0 = time.time()
+    for i in range(1, iters + 1):
+        run(i)
+    dt = (time.time() - t0) / iters
+    ours_pps = N_PAIRS / dt
+    _log(f"ours: {dt * 1000:.1f} ms/pose, {ours_pps:,.0f} pairs/s")
+
+    # --- baseline: vectorised NumPy on host ---------------------------------
+    BASE_PAIRS = 20000
+    pc_np = np.asarray(pre.pc)[:n]
+    nrm_np = np.asarray(pre.normals)[:n]
+    sphere_np = np.asarray(sphere)
+    idxs = rng.integers(0, n, size=(BASE_PAIRS, 2))
+    t0 = time.time()
+    d2 = ((pc_np[:, None] - pc_np[None]) ** 2).sum(-1)
+    nbr_np = np.argpartition(d2, cfg.knn, axis=-1)[:, : cfg.knn]
+    feat_np = _np_point_encoder(p_pt, pc_np, nrm_np, nbr_np)
+    preds_np = _np_ppf_head(p_pf, pc_np, nrm_np, feat_np, idxs)
+    _np_vote_pipeline(pc_np, nrm_np, preds_np, idxs, cfg, sphere_np, rng)
+    base_dt = time.time() - t0
+    base_pps = BASE_PAIRS / base_dt
+    _log(f"numpy host baseline: {base_dt * 1000:.1f} ms @ {BASE_PAIRS} pairs, {base_pps:,.0f} pairs/s")
+
+    print(json.dumps({
+        "metric": "point-pairs/sec, full 9D pose pipeline (network+voting)",
+        "value": round(ours_pps, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(ours_pps / base_pps, 2),
+        "ms_per_pose": round(dt * 1000, 2),
+        "n_pairs": N_PAIRS,
+        "n_points": n,
+        "baseline": "vectorized host-NumPy of the same workload (reference CuPy path not runnable here; reference publishes no numbers)",
+        "baseline_pairs_per_s": round(base_pps, 1),
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()

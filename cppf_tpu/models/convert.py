@@ -1,0 +1,101 @@
+"""Torch checkpoint <-> flax parameter conversion.
+
+The reference ships ``.pth`` state_dicts (``point_encoder_epochbest.pth`` /
+``ppf_encoder_epochbest.pth``, reference nocs/inference.py:87-88).  This
+module maps them onto our flax module trees so reference checkpoints can be
+run for parity evals, and our checkpoints exported back.
+
+Key mapping (torch → flax):
+    Linear.weight [out,in] → Dense.kernel [in,out] (transposed); bias as-is
+    LayerNorm.weight/bias  → LayerNorm.scale/bias
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _dense(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    return {
+        "kernel": np.ascontiguousarray(np.asarray(sd[prefix + ".weight"]).T),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _layernorm(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    return {
+        "scale": np.asarray(sd[prefix + ".weight"]),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _conv_kernel_mlp(sd, prefix: str, n_hidden: int) -> dict:
+    """torch conv_kernel Sequential: [Linear, LN, ReLU]*n_hidden + Linear.
+
+    Sequential indices: Linear at 3i, LayerNorm at 3i+1, final Linear at
+    3*n_hidden.
+    """
+    out = {}
+    for i in range(n_hidden):
+        out[f"lin{i}"] = _dense(sd, f"{prefix}.{3 * i}")
+        out[f"ln{i}"] = _layernorm(sd, f"{prefix}.{3 * i + 1}")
+    out["lin_out"] = _dense(sd, f"{prefix}.{3 * n_hidden}")
+    return out
+
+
+def point_encoder_from_torch(sd: Dict[str, np.ndarray], num_layers: int = 1, n_spfcs: int = 4) -> dict:
+    """Map a reference PointEncoder state_dict to our flax params tree."""
+    params = {}
+    for i in range(num_layers):
+        params[f"spconv{i}"] = {
+            "kernel": _conv_kernel_mlp(sd, f"spconvs.{i}.kernel", n_spfcs),
+            "outnet": _dense(sd, f"spconvs.{i}.outnet"),
+            "norm": _layernorm(sd, f"spconvs.{i}.layer_norm"),
+        }
+        params[f"aggr{i}"] = {"linear": _dense(sd, f"aggrs.{i}.linear")}
+    return {"params": params}
+
+
+def ppf_encoder_from_torch(sd: Dict[str, np.ndarray], n_res: int = 3) -> dict:
+    """Map a reference PPFEncoder state_dict to our flax params tree."""
+    params = {}
+    for i in range(n_res):
+        layer = {
+            "fc1": _dense(sd, f"res_layers.{i}.fc1"),
+            "fc2": _dense(sd, f"res_layers.{i}.fc2"),
+        }
+        if f"res_layers.{i}.fc0.weight" in sd:
+            layer["fc0"] = _dense(sd, f"res_layers.{i}.fc0")
+        params[f"res{i}"] = layer
+    params["final"] = _dense(sd, "final")
+    return {"params": params}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def point_encoder_to_torch(params: dict, num_layers: int = 1, n_spfcs: int = 4) -> dict:
+    """Inverse mapping (flax → torch state_dict with numpy values)."""
+    p = params["params"]
+    sd = {}
+    for i in range(num_layers):
+        ck = p[f"spconv{i}"]["kernel"]
+        for j in range(n_spfcs):
+            sd[f"spconvs.{i}.kernel.{3*j}.weight"] = np.asarray(ck[f"lin{j}"]["kernel"]).T
+            sd[f"spconvs.{i}.kernel.{3*j}.bias"] = np.asarray(ck[f"lin{j}"]["bias"])
+            sd[f"spconvs.{i}.kernel.{3*j+1}.weight"] = np.asarray(ck[f"ln{j}"]["scale"])
+            sd[f"spconvs.{i}.kernel.{3*j+1}.bias"] = np.asarray(ck[f"ln{j}"]["bias"])
+        sd[f"spconvs.{i}.kernel.{3*n_spfcs}.weight"] = np.asarray(ck["lin_out"]["kernel"]).T
+        sd[f"spconvs.{i}.kernel.{3*n_spfcs}.bias"] = np.asarray(ck["lin_out"]["bias"])
+        sd[f"spconvs.{i}.outnet.weight"] = np.asarray(p[f"spconv{i}"]["outnet"]["kernel"]).T
+        sd[f"spconvs.{i}.outnet.bias"] = np.asarray(p[f"spconv{i}"]["outnet"]["bias"])
+        sd[f"spconvs.{i}.layer_norm.weight"] = np.asarray(p[f"spconv{i}"]["norm"]["scale"])
+        sd[f"spconvs.{i}.layer_norm.bias"] = np.asarray(p[f"spconv{i}"]["norm"]["bias"])
+        sd[f"aggrs.{i}.linear.weight"] = np.asarray(p[f"aggr{i}"]["linear"]["kernel"]).T
+        sd[f"aggrs.{i}.linear.bias"] = np.asarray(p[f"aggr{i}"]["linear"]["bias"])
+    return sd

@@ -1,0 +1,324 @@
+"""The fully-jitted 9D pose estimation program.
+
+This is the TPU re-design of the reference's per-instance inference loop
+(reference nocs/inference.py:174-339), which ping-pongs between torch-GPU,
+NumPy and CuPy several times per instance.  Here the entire chain —
+
+    KNN → SPRIN features → PPF pair head → bin decode (multinomial)
+    → center vote grid → argmax → back-vote filter → axis voting on the
+    sphere → aux sign disambiguation → R/T/S assembly
+
+— is ONE jitted XLA program with static shapes; host code only feeds padded
+point clouds and reads back a 9D pose.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf_tpu.config import Config
+from cppf_tpu.core.geometry import assemble_rotation, fibonacci_sphere, orthonormal_right
+from cppf_tpu.models.encoders import PointEncoder, PPFEncoder
+from cppf_tpu.ops.knn import knn_indices
+from cppf_tpu.ops.voting import backvote, grid_argmax, ppf_vote, rot_vote, sphere_bin_count
+
+
+@dataclass(frozen=True)
+class PoseConfig:
+    """Static (hashable) pipeline parameters — one jit specialisation each."""
+
+    tr_num_bins: int = 32
+    rot_num_bins: int = 36
+    vote_range: Tuple[float, float] = (0.12, 0.12)
+    scale_mean: Tuple[float, float, float] = (0.07, 0.03, 0.07)
+    res: float = 4e-3
+    knn: int = 60
+    regress_right: bool = False
+    z_right: bool = False
+    up_sym: bool = False
+    right_sym: bool = False
+    num_rots: int = 72
+    n_pairs: int = 100000
+    rot_subsample: int = 10000
+    angle_prec: float = 1.5
+    adaptive_voting: bool = False
+    grid_shape: Tuple[int, int, int] = (64, 64, 64)
+    # scale assembly multiplier: 2 for NOCS (reference nocs/inference.py:335),
+    # 1 for SUN RGB-D (reference sunrgbd/inference.py:281)
+    scale_multiplier: float = 2.0
+
+    @classmethod
+    def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
+        g = cfg.resolved_grid_edge()
+        return cls(
+            tr_num_bins=cfg.tr_num_bins,
+            rot_num_bins=cfg.rot_num_bins,
+            vote_range=tuple(cfg.vote_range),
+            scale_mean=tuple(cfg.scale_mean),
+            res=cfg.res,
+            knn=cfg.knn,
+            regress_right=cfg.regress_right,
+            z_right=cfg.z_right,
+            up_sym=cfg.up_sym,
+            right_sym=cfg.right_sym,
+            num_rots=cfg.num_rots,
+            n_pairs=n_pairs or cfg.infer_pairs,
+            angle_prec=cfg.angle_prec,
+            adaptive_voting=cfg.adaptive_voting,
+            grid_shape=(g, g, g),
+            scale_multiplier=scale_multiplier,
+        )
+
+    def sphere_points(self) -> np.ndarray:
+        n = int(4 * np.pi / (self.angle_prec / 180 * np.pi))
+        return fibonacci_sphere(n).astype(np.float32)
+
+
+class PoseResult(NamedTuple):
+    T: jnp.ndarray           # [3] center
+    R: jnp.ndarray           # [3, 3] rotation (orthonormal columns)
+    scale: jnp.ndarray       # [3] absolute per-axis scale
+    RT: jnp.ndarray          # [4, 4] with R * |scale| convention of the eval
+    scale_unit: jnp.ndarray  # scale / |scale| (the eval's `pred_scales`)
+    up: jnp.ndarray
+    right: jnp.ndarray
+    n_filtered: jnp.ndarray  # pairs surviving the back-vote
+    grid_max: jnp.ndarray
+
+
+def make_models(cfg: Config) -> Tuple[PointEncoder, PPFEncoder]:
+    """Construct the two encoders with reference hyper-parameters
+    (reference train.py:34-35)."""
+    return (
+        PointEncoder(spfcs=(32, 64, 32, 32), out_dim=32, num_layers=1),
+        PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=cfg.out_dim),
+    )
+
+
+def _masked_mean(x, mask, axis=None):
+    m = mask.astype(x.dtype)
+    while m.ndim < x.ndim:
+        m = m[..., None]
+    return jnp.sum(x * m, axis) / jnp.maximum(jnp.sum(m, axis), 1.0)
+
+
+def _bce_logits(logits, targets, mask):
+    """BCEWithLogits, mean over masked entries (reference nocs/inference.py:294-297)."""
+    loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return _masked_mean(loss, mask)
+
+
+def _vote_axis(
+    rng: jax.Array,
+    pc: jnp.ndarray,
+    pc_normal: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    pair_mask: jnp.ndarray,
+    angle_logits: jnp.ndarray,
+    aux_logits: jnp.ndarray,
+    sphere_pts: jnp.ndarray,
+    pcfg: PoseConfig,
+) -> jnp.ndarray:
+    """One orientation axis: rot-vote → sphere binning → aux sign flip
+    (reference nocs/inference.py:258-303)."""
+    rng_bin, rng_sub = jax.random.split(rng)
+    # multinomial bin decode → angle in [0, π] (reference nocs/inference.py:250-252)
+    bin_idx = jax.random.categorical(rng_bin, angle_logits, axis=-1)
+    angles = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
+
+    # subsample `rot_subsample` surviving pairs (reference nocs/inference.py:277-279)
+    p = point_idxs.shape[0]
+    logp = jnp.where(pair_mask, 0.0, -jnp.inf)
+    sub = jax.random.categorical(rng_sub, logp, shape=(pcfg.rot_subsample,))
+    sub_idxs = point_idxs[sub]
+    cands = rot_vote(pc, angles[sub], sub_idxs, n_rots=pcfg.num_rots)
+
+    cos_tol = jnp.cos(jnp.deg2rad(pcfg.angle_prec))
+    counts = sphere_bin_count(cands.reshape(-1, 3), sphere_pts, cos_tol)
+    best_dir = sphere_pts[jnp.argmax(counts)]
+
+    # aux disambiguation over *all* surviving pairs (reference :286-302)
+    ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
+    ab_unit = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
+    n_a = pc_normal[point_idxs[:, 0]]
+    n_canon = n_a * jnp.where(jnp.sum(n_a * ab_unit, -1, keepdims=True) < 0, -1.0, 1.0)
+    target = (jnp.sum(n_canon * best_dir, -1) > 0).astype(pc.dtype)
+    up_loss = _bce_logits(aux_logits, target, pair_mask)
+    down_loss = _bce_logits(aux_logits, 1.0 - target, pair_mask)
+    return jnp.where(down_loss < up_loss, -best_dir, best_dir)
+
+
+def pair_predictions(
+    rng: jax.Array,
+    point_params,
+    ppf_params,
+    pc: jnp.ndarray,
+    pc_normal: jnp.ndarray,
+    n_valid,
+    pcfg: PoseConfig,
+):
+    """Network half: sample pairs and run SPRIN + PPF head.
+
+    Returns (point_idxs [P,2], preds [P, out_dim]).
+    """
+    n = pc.shape[0]
+    valid_mask = jnp.arange(n) < n_valid
+    point_encoder = PointEncoder(spfcs=(32, 64, 32, 32), out_dim=32, num_layers=1)
+    out_dim = 2 * pcfg.tr_num_bins + 2 * pcfg.rot_num_bins + 2 + 3
+    ppf_encoder = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=out_dim)
+
+    nbr = knn_indices(pc, pcfg.knn, valid_mask)
+    feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
+
+    u = jax.random.uniform(rng, (pcfg.n_pairs, 2))
+    point_idxs = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+    preds = ppf_encoder.apply(ppf_params, pc, pc_normal, feat, point_idxs)
+    return point_idxs, preds
+
+
+def vote_pose(
+    rng: jax.Array,
+    pc: jnp.ndarray,
+    pc_normal: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    preds: jnp.ndarray,
+    n_valid,
+    sphere_pts: jnp.ndarray,
+    pcfg: PoseConfig,
+    probs: jnp.ndarray | None = None,
+    laptop_up: jnp.ndarray | None = None,
+    laptop_up_valid: jnp.ndarray | None = None,
+) -> PoseResult:
+    """Voting half: decode pair predictions into a 9D pose (no network)."""
+    n = pc.shape[0]
+    valid_mask = jnp.arange(n) < n_valid
+    rng_tr, rng_up, rng_right, rng_fallback = jax.random.split(rng, 4)
+
+    B, R = pcfg.tr_num_bins, pcfg.rot_num_bins
+    tr_logits = preds[:, : 2 * B].reshape(-1, 2, B)
+    up_logits = preds[:, 2 * B : 2 * B + R]
+    right_logits = preds[:, 2 * B + R : 2 * B + 2 * R]
+    up_aux = preds[:, -5]
+    right_aux = preds[:, -4]
+    scale_pred = preds[:, -3:]
+
+    # --- decode translation bins (multinomial, reference :185-188) ---------
+    rng_tr0, rng_tr1 = jax.random.split(rng_tr)
+    v0, v1 = pcfg.vote_range
+    idx0 = jax.random.categorical(rng_tr0, tr_logits[:, 0], axis=-1)
+    idx1 = jax.random.categorical(rng_tr1, tr_logits[:, 1], axis=-1)
+    proj_len = idx0.astype(pc.dtype) / (B - 1) * 2 * v0 - v0
+    odist = idx1.astype(pc.dtype) / (B - 1) * v1
+    preds_tr = jnp.stack([proj_len, odist], -1)
+
+    # --- center voting ------------------------------------------------------
+    big = jnp.asarray(1e9, pc.dtype)
+    corner = jnp.min(jnp.where(valid_mask[:, None], pc, big), 0)
+    top = jnp.max(jnp.where(valid_mask[:, None], pc, -big), 0)
+    grid_dims = ((top - corner) / pcfg.res).astype(jnp.int32) + 1
+    grid_dims = jnp.minimum(grid_dims, jnp.array(pcfg.grid_shape, jnp.int32))
+    if probs is None:
+        probs = jnp.ones((n,), pc.dtype)
+    grid = ppf_vote(
+        pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
+        pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
+    )
+    T_est = grid_argmax(grid, corner, pcfg.res)
+
+    # --- back-vote filter (reference :216-231) ------------------------------
+    _, pair_mask = backvote(
+        pc, preds_tr, point_idxs, corner, pcfg.res, grid_dims, T_est,
+        3.0 * pcfg.res, n_rots=pcfg.num_rots,
+    )
+
+    # --- orientation axes ----------------------------------------------------
+    up = _vote_axis(
+        rng_up, pc, pc_normal, point_idxs, pair_mask, up_logits, up_aux, sphere_pts, pcfg
+    )
+    if pcfg.regress_right:
+        right = _vote_axis(
+            rng_right, pc, pc_normal, point_idxs, pair_mask, right_logits,
+            right_aux, sphere_pts, pcfg,
+        )
+        right = orthonormal_right(up, right)
+    else:
+        right = jnp.stack([jnp.zeros_like(up[0]), -up[2], up[1]])
+        right = right / (jnp.linalg.norm(right) + 1e-9)
+
+    # laptop plane override (reference :314-323)
+    if laptop_up is not None:
+        lv = laptop_up_valid if laptop_up_valid is not None else jnp.array(True)
+        flip = (jnp.dot(up, laptop_up) + jnp.dot(right, laptop_up)) < (
+            -jnp.dot(up, laptop_up) - jnp.dot(right, laptop_up)
+        )
+        lup = jnp.where(flip, -laptop_up, laptop_up)
+        wrong = jnp.dot(up, lup) < jnp.dot(right, lup)
+        new_up = jnp.where(wrong & lv, lup, up)
+        new_right = jnp.where(wrong & lv, orthonormal_right(lup, up), right)
+        up, right = new_up, new_right
+
+    # degenerate right fallback (reference :325-328)
+    degen = jnp.linalg.norm(right) < 1e-7
+    rand_right = jax.random.normal(rng_fallback, (3,), pc.dtype)
+    rand_right = orthonormal_right(up, rand_right)
+    right = jnp.where(degen, rand_right, right)
+
+    R_est = assemble_rotation(up, right, pcfg.z_right)
+
+    # --- scale (reference :335-339) -----------------------------------------
+    scale_mean = jnp.asarray(pcfg.scale_mean, pc.dtype)
+    pred_scale = (
+        jnp.exp(_masked_mean(scale_pred, pair_mask, axis=0)) * scale_mean * pcfg.scale_multiplier
+    )
+    scale_norm = jnp.linalg.norm(pred_scale)
+    RT = jnp.eye(4, dtype=pc.dtype)
+    RT = RT.at[:3, :3].set(R_est * scale_norm)
+    RT = RT.at[:3, 3].set(T_est)
+
+    return PoseResult(
+        T=T_est,
+        R=R_est,
+        scale=pred_scale,
+        RT=RT,
+        scale_unit=pred_scale / scale_norm,
+        up=up,
+        right=right,
+        n_filtered=jnp.sum(pair_mask),
+        grid_max=jnp.max(grid),
+    )
+
+
+@partial(jax.jit, static_argnames=("pcfg",))
+def estimate_pose(
+    rng: jax.Array,
+    point_params,
+    ppf_params,
+    pc: jnp.ndarray,
+    pc_normal: jnp.ndarray,
+    n_valid,
+    sphere_pts: jnp.ndarray,
+    pcfg: PoseConfig,
+    probs: jnp.ndarray | None = None,
+    laptop_up: jnp.ndarray | None = None,
+    laptop_up_valid: jnp.ndarray | None = None,
+) -> PoseResult:
+    """Single-instance 9D pose, fully on device.
+
+    pc/pc_normal: [N, 3] padded, valid points compacted to the front;
+    n_valid: number of real points.  ``laptop_up`` optionally overrides the
+    up axis as in the reference's laptop special case
+    (reference nocs/inference.py:314-323).
+    """
+    rng_pairs, rng_vote = jax.random.split(rng)
+    point_idxs, preds = pair_predictions(
+        rng_pairs, point_params, ppf_params, pc, pc_normal, n_valid, pcfg
+    )
+    return vote_pose(
+        rng_vote, pc, pc_normal, point_idxs, preds, n_valid, sphere_pts, pcfg,
+        probs, laptop_up, laptop_up_valid,
+    )

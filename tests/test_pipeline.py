@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests with a ground-truth oracle network
+(SURVEY §4 integration seam: no checkpoint needed)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cppf_tpu.config import load_config
+from cppf_tpu.data.synthetic import (
+    PRIMITIVES,
+    mesh_bounds,
+    oracle_pair_predictions,
+    sample_surface,
+)
+from cppf_tpu.pipeline.pose import PoseConfig, estimate_pose, vote_pose
+from cppf_tpu.pipeline.preprocess import preprocess_cloud
+
+
+def _posed_instance(rng, category="bottle", n=4000, scale=1.0):
+    mesh = PRIMITIVES[category]()
+    pc_canon = sample_surface(mesh, n, rng) * scale
+    ang = np.deg2rad(40.0)
+    R = np.array(
+        [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]],
+        np.float32,
+    ) @ np.array(
+        [[1, 0, 0], [0, np.cos(0.5), -np.sin(0.5)], [0, np.sin(0.5), np.cos(0.5)]],
+        np.float32,
+    )
+    T = np.array([0.15, -0.08, 0.75], np.float32)
+    return mesh, pc_canon @ R.T + T, R, T
+
+
+def test_preprocess_cloud(rng):
+    _, pc_cam, _, _ = _posed_instance(rng)
+    pad = np.zeros((6000, 3), np.float32)
+    pad[:4000] = pc_cam
+    out = preprocess_cloud(jax.random.PRNGKey(0), jnp.array(pad), 4000, 0.004,
+                           npoint_pad=4096, knn=30)
+    n = int(out.n_valid)
+    assert 100 < n <= 4096
+    pc = np.asarray(out.pc)
+    assert np.all(pc[n:] == 0)
+    nrm = np.asarray(out.normals)[:n]
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("category", ["bottle", "bowl"])
+def test_oracle_pose_recovery(rng, category):
+    """Full voting pipeline with GT pair predictions recovers T within the
+    voxel tolerance, the up axis within sphere tolerance, and the scale."""
+    cfg = load_config(category)
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, category)
+    lo, hi = mesh_bounds(mesh)
+    bound = (hi - lo).copy()
+    bound[[0, 2]] = bound[[2, 0]]  # NOCS x/z swap (reference utils/dataset.py:247)
+
+    pad = np.zeros((4096, 3), np.float32)
+    pad[:4000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 4000, cfg.res,
+                           npoint_pad=2048, knn=cfg.knn, jitter=False)
+    n = int(pre.n_valid)
+    pc = np.asarray(pre.pc)
+    normals = np.asarray(pre.normals)
+
+    pcfg = PoseConfig.from_config(cfg, n_pairs=20000)
+    idxs = rng.integers(0, n, size=(20000, 2)).astype(np.int32)
+    preds = oracle_pair_predictions(pc, normals, idxs, T_true, R_true, bound, 1.0, cfg)
+
+    res = vote_pose(
+        jax.random.PRNGKey(2), pre.pc, pre.normals, jnp.array(idxs), jnp.array(preds),
+        pre.n_valid, jnp.array(pcfg.sphere_points()), pcfg,
+    )
+    T_err = np.linalg.norm(np.asarray(res.T) - T_true)
+    assert T_err < 2.5 * cfg.res, f"T err {T_err}"
+
+    up_true = R_true @ np.array([0, 1.0, 0])
+    up_est = np.asarray(res.up)
+    cos_up = float(up_est @ up_true)
+    if cfg.up_sym:
+        cos_up = abs(cos_up)
+    assert cos_up > np.cos(np.deg2rad(5)), f"up axis cos {cos_up}"
+
+    # scale: recovered absolute scale = NOCS extent (multiplier 2 * bound/2)
+    np.testing.assert_allclose(np.asarray(res.scale), bound, rtol=0.05)
+    assert int(res.n_filtered) > 0.3 * 20000
+
+
+def test_estimate_pose_runs_with_random_weights(rng):
+    """The jitted network+voting program compiles and returns finite results."""
+    from cppf_tpu.pipeline.pose import make_models
+
+    cfg = load_config("bowl")
+    cfg.knn = 16
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, "bowl", n=800)
+    pad = np.zeros((1024, 3), np.float32)
+    pad[:800] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 800, cfg.res,
+                           npoint_pad=1024, knn=16)
+    pcfg = PoseConfig.from_config(cfg, n_pairs=2048)
+    pcfg = PoseConfig(**{**pcfg.__dict__, "knn": 16})
+    point_enc, ppf_enc = make_models(cfg)
+    from cppf_tpu.ops.knn import knn_indices
+
+    nbr = knn_indices(pre.pc, 16)
+    p_pt = point_enc.init(jax.random.PRNGKey(0), pre.pc, pre.normals, nbr)
+    feat = point_enc.apply(p_pt, pre.pc, pre.normals, nbr)
+    p_ppf = ppf_enc.init(
+        jax.random.PRNGKey(1), pre.pc, pre.normals, feat, jnp.zeros((4, 2), jnp.int32)
+    )
+    out = estimate_pose(
+        jax.random.PRNGKey(3), p_pt, p_ppf, pre.pc, pre.normals, pre.n_valid,
+        jnp.array(pcfg.sphere_points()), pcfg,
+    )
+    assert np.isfinite(np.asarray(out.T)).all()
+    assert np.isfinite(np.asarray(out.R)).all()
+    # R orthonormal
+    RtR = np.asarray(out.R).T @ np.asarray(out.R)
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
