@@ -1,0 +1,154 @@
+"""Training entry point.
+
+Equivalent of reference ``train.py:17-122`` re-designed for TPU:
+
+- the host only renders depth and backprojects (C++ rasterizer); jitter,
+  voxel downsampling, normal estimation, pair sampling, target generation
+  and soft binning run inside a jitted ``prepare_batch`` on device
+  (the reference does all of this in 10 NumPy DataLoader workers);
+- the train step is jitted and batched (the reference enforces
+  batch_size=1); Adam(lr 1e-3, wd 1e-4), KLDiv+BCE+MSE losses;
+- checkpoints: every 20 epochs + best loss (reference cadence), orbax
+  format with optimizer state for resume (the reference cannot resume).
+
+Usage:
+    python -m cppf_tpu.train.loop category=bowl [max_epoch=200] [out_dir=...]
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf_tpu.config import Config, load_config, parse_cli_overrides
+from cppf_tpu.core.targets import generate_targets, sample_pair_idxs, scale_target, soft_bin_targets
+from cppf_tpu.data.shapenet import ShapeNetRenderDataset
+from cppf_tpu.pipeline.preprocess import preprocess_cloud
+from cppf_tpu.train import checkpoints
+from cppf_tpu.train.step import Batch, TrainStatics, init_train_state, make_optimizer, train_step
+from cppf_tpu.utils.meters import AverageMeter
+
+log = logging.getLogger("cppf_tpu.train")
+
+
+_PREP_CACHE: dict = {}
+
+
+def _prepare_fn(cfg: Config, npoint_pad: int):
+    """Build (and cache) the jitted device-side batch-prep program for this
+    config: jitter → voxelize → normals → pairs → targets → soft bins."""
+    key = (cfg.res, cfg.knn, cfg.train_pairs, cfg.up_sym, cfg.right_sym,
+           cfg.z_right, cfg.cls_bins, tuple(cfg.vote_range), tuple(cfg.scale_mean),
+           cfg.tr_num_bins, cfg.rot_num_bins, npoint_pad)
+    if key in _PREP_CACHE:
+        return _PREP_CACHE[key]
+
+    @jax.jit
+    def _prep(rngs, pcs, n_raws, bounds, scales):
+        def one(rng_i, pc_raw, n_raw, bound, scale):
+            rng_pre, rng_pairs = jax.random.split(rng_i)
+            pre = preprocess_cloud(rng_pre, pc_raw, n_raw, cfg.res,
+                                   npoint_pad=npoint_pad, knn=cfg.knn)
+            idxs = sample_pair_idxs(rng_pairs, pre.n_valid, cfg.train_pairs)
+            tgt = generate_targets(pre.pc, pre.normals, idxs,
+                                   cfg.up_sym, cfg.right_sym, cfg.z_right)
+            st = scale_target(bound, scale, cfg.scale_mean)
+            if cfg.cls_bins:
+                tr_t, rot_t = soft_bin_targets(tgt, cfg.vote_range,
+                                               cfg.tr_num_bins, cfg.rot_num_bins)
+            else:
+                tr_t, rot_t = tgt.tr, tgt.rot
+            return pre.pc, pre.normals, pre.n_valid, idxs, tr_t, rot_t, tgt.rot_aux, st
+
+        return Batch(*jax.vmap(one)(rngs, pcs, n_raws, bounds, scales))
+
+    _PREP_CACHE[key] = _prep
+    return _prep
+
+
+def build_batch(cfg: Config, rng: jax.Array, samples, npoint_pad: int) -> Batch:
+    """Assemble a device Batch from host RenderedSamples."""
+    n_raw_pad = cfg.npoint_max
+    pcs, n_raws, bounds, scales = [], [], [], []
+    for s in samples:
+        pc = s.pc[: n_raw_pad]
+        pad = np.zeros((n_raw_pad, 3), np.float32)
+        pad[: len(pc)] = pc
+        pcs.append(pad)
+        n_raws.append(len(pc))
+        bounds.append(s.bound)
+        scales.append(s.scale)
+    prep = _prepare_fn(cfg, npoint_pad)
+    return prep(
+        jax.random.split(rng, len(samples)),
+        jnp.asarray(np.stack(pcs)),
+        jnp.asarray(np.array(n_raws, np.int32)),
+        jnp.asarray(np.stack(bounds)),
+        jnp.asarray(np.array(scales, np.float32)),
+    )
+
+
+def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
+          dataset=None) -> dict:
+    out_dir = out_dir or os.path.join("checkpoints", cfg.category)
+    os.makedirs(out_dir, exist_ok=True)
+    cfg.save(os.path.join(out_dir, "config.yaml"))  # snapshot for inference
+
+    ds = dataset or ShapeNetRenderDataset(cfg, seed=0)
+    if epoch_len is not None:
+        ds.epoch_len = epoch_len
+    statics = TrainStatics.from_config(cfg)
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, cfg.npoint_pad)
+
+    rng = jax.random.PRNGKey(1)
+    best_loss = np.inf
+    history = []
+    for epoch in range(cfg.max_epoch):
+        meters: dict[str, AverageMeter] = {}
+        t0 = time.time()
+        steps = max(1, len(ds) // cfg.batch_size)
+        for _ in range(steps):
+            samples = [ds.sample() for _ in range(cfg.batch_size)]
+            rng, rb = jax.random.split(rng)
+            batch = build_batch(cfg, rb, samples, cfg.npoint_pad)
+            state, comps = train_step(state, batch, statics, tx)
+            for k, v in comps.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+        avg = {k: m.avg for k, m in meters.items()}
+        history.append(avg)
+        log.info(
+            "epoch %d  %s  (%.1fs)", epoch,
+            "  ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())),
+            time.time() - t0,
+        )
+        if epoch % 20 == 0:
+            checkpoints.save_train_state(out_dir, state, name=f"epoch{epoch}")
+        if avg["loss"] < best_loss:
+            best_loss = avg["loss"]
+            checkpoints.save_train_state(out_dir, state, name="best")
+            checkpoints.save_params(out_dir, state.params, name="params_best")
+    return {"state": state, "best_loss": best_loss, "history": history}
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
+    argv = argv if argv is not None else sys.argv[1:]
+    overrides = parse_cli_overrides([a for a in argv if "=" in a])
+    category = overrides.pop("category", "bowl")
+    out_dir = overrides.pop("out_dir", None)
+    epoch_len = overrides.pop("epoch_len", None)
+    cfg = load_config(category, overrides)
+    log.info("training category=%s res=%g bins=(%d,%d) pairs=%d",
+             cfg.category, cfg.res, cfg.tr_num_bins, cfg.rot_num_bins, cfg.train_pairs)
+    train(cfg, out_dir=out_dir, epoch_len=epoch_len)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+import io
+import os
+
+import numpy as np
+import pytest
+
+from cppf_tpu.config import load_config
+from cppf_tpu.core.geometry import backproject
+from cppf_tpu.data import native
+from cppf_tpu.data.mesh import load_obj
+from cppf_tpu.data.shapenet import TRAIN_INTRINSICS, ShapeNetRenderDataset
+from cppf_tpu.data.synthetic import PRIMITIVES, make_box
+
+
+def test_native_builds():
+    assert native.have_native(), "g++ native library should build in this environment"
+
+
+def test_rasterize_backproject_roundtrip(rng):
+    """Rendered depth backprojects onto the source geometry."""
+    mesh = make_box((0.2, 0.15, 0.1))
+    v_cam = mesh.vertices + np.float32([0, 0, -1.0])
+    K = TRAIN_INTRINSICS
+    depth = native.rasterize_depth(v_cam, mesh.faces, K[0, 0], K[1, 1], K[0, 2], K[1, 2], 640, 480)
+    assert (depth > 0).sum() > 1000
+    pts, _ = backproject(depth, K, depth > 0)
+    # undo the NOCS backprojection flips to return to camera frame
+    pts[:, 0] = -pts[:, 0]
+    pts[:, 2] = -pts[:, 2]
+    pts[:, 1] = -pts[:, 1] * -1  # backproject negates y; flip sign back
+    # visible box front face is at z = -1 + 0.05 → depth 0.95
+    assert abs(depth[depth > 0].min() - 0.95) < 2e-3
+    # all points lie on the box surface (within raster quantisation)
+    local = pts - np.float32([0, 0, -1.0])
+    half = np.float32([0.1, 0.075, 0.05])
+    assert np.all(np.abs(local) <= half + 5e-3)
+
+
+def test_rasterize_native_matches_numpy():
+    mesh = make_box((0.2, 0.15, 0.1))
+    v_cam = mesh.vertices + np.float32([0.03, -0.02, -0.9])
+    K = TRAIN_INTRINSICS
+    d1 = native.rasterize_depth(v_cam, mesh.faces, K[0, 0], K[1, 1], K[0, 2], K[1, 2], 640, 480)
+    d2 = native._rasterize_depth_np(v_cam, mesh.faces, K[0, 0], K[1, 1], K[0, 2], K[1, 2], 640, 480)
+    np.testing.assert_allclose(d1, d2, atol=1e-4)
+
+
+def test_voxel_downsample_host_matches_np(rng):
+    pts = (rng.normal(size=(2000, 3)) * 0.1).astype(np.float32)
+    from cppf_tpu.ops.quantize import voxel_downsample_np
+
+    a = native.voxel_downsample_host(pts, 0.02)
+    b = voxel_downsample_np(pts, 0.02)
+    np.testing.assert_array_equal(np.sort(a), np.sort(b))
+
+
+def test_obj_loader(tmp_path):
+    obj = """
+# comment
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+f 1/1/1 2/2/2 3/3/3 4/4/4
+"""
+    p = tmp_path / "m.obj"
+    p.write_text(obj)
+    mesh = load_obj(str(p))
+    assert mesh.vertices.shape == (4, 3)
+    assert mesh.faces.shape == (2, 3)  # quad fan-triangulated
+
+
+def test_shapenet_dataset_primitive_fallback():
+    """Without a ShapeNet root the dataset renders built-in primitives and
+    produces canonical-frame clouds centred at the origin."""
+    cfg = load_config("bowl")
+    ds = ShapeNetRenderDataset(cfg, seed=1)
+    s = ds.sample()
+    assert s.pc.shape[0] >= 100
+    # canonical frame: visible surface of an origin-centred object
+    assert np.linalg.norm(s.pc.mean(0)) < 0.2 * np.linalg.norm(np.ptp(s.pc, 0))
+    extent = s.pc.max(0) - s.pc.min(0)
+    assert np.all(extent < cfg.scale_range[1] * 1.2)
+    assert cfg.scale_range[0] <= s.scale <= cfg.scale_range[1]
