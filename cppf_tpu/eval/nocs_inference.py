@@ -1,0 +1,218 @@
+"""NOCS REAL275 inference driver.
+
+Equivalent of reference ``nocs/inference.py``: consumes Mask-RCNN detection
+prior pkls (``results_*.pkl``), runs per-instance 9D pose with the jitted
+TPU pipeline, and writes per-frame result pkls in the exact reference format
+(``pred_RTs`` with R·|s| convention, ``pred_scales`` unit-normalised) so the
+reference eval protocol applies unchanged.
+
+Usage:
+    python -m cppf_tpu.eval.nocs_inference --seg_dir ... --nocs_dir ... \
+        --out_dir ... --ckpt_path checkpoints [--bbox_mask] [--adaptive_voting]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import pickle
+
+import numpy as np
+
+SYNSET_NAMES = ["BG", "bottle", "bowl", "camera", "can", "laptop", "mug"]
+
+# NOCS REAL275 camera (reference nocs/inference.py:98)
+REAL275_INTRINSICS = np.array([[591.0125, 0, 322.525], [0, 590.16775, 244.11084], [0, 0, 1]])
+
+log = logging.getLogger("cppf_tpu.nocs")
+
+
+def load_detection_priors(seg_dir: str):
+    pkls = sorted(glob.glob(os.path.join(seg_dir, "results_*.pkl")))
+    assert pkls, f"no detection pkls under {seg_dir}"
+    results = []
+    for p in pkls:
+        with open(p, "rb") as f:
+            r = pickle.load(f)
+        if "gt_handle_visibility" not in r:
+            r["gt_handle_visibility"] = np.ones_like(r["gt_class_ids"])
+        results.extend(r if isinstance(r, list) else [r])
+    return results
+
+
+class CategoryRunner:
+    """Holds config + params + compiled pipeline for one category."""
+
+    def __init__(self, cls_name: str, ckpt_path: str, args):
+        import jax.numpy as jnp
+
+        from cppf_tpu.config import load_config
+        from cppf_tpu.pipeline.pose import PoseConfig
+        from cppf_tpu.train.checkpoints import maybe_load_any
+
+        path = os.path.join(ckpt_path, cls_name)
+        snap = os.path.join(path, "config.yaml")
+        # re-read the training-time snapshot like the reference
+        # (nocs/inference.py:81); fall back to the repo config
+        self.cfg = load_config(cls_name, snapshot=snap if os.path.exists(snap) else None)
+        self.params = maybe_load_any(path, name="params_best") or maybe_load_any(path, name="best")
+        if self.params is None:
+            raise FileNotFoundError(f"no checkpoint for {cls_name} under {path}")
+        self.cfg.num_rots = args.num_rots
+        self.cfg.angle_prec = args.angle_prec
+        self.cfg.adaptive_voting = args.adaptive_voting
+        self.pcfg = PoseConfig.from_config(self.cfg, scale_multiplier=2.0)
+        self.sphere = jnp.array(self.pcfg.sphere_points())
+
+    def estimate(self, rng, pc_raw: np.ndarray, laptop_up=None):
+        import jax
+        import jax.numpy as jnp
+
+        from cppf_tpu.pipeline.pose import estimate_pose
+        from cppf_tpu.pipeline.preprocess import preprocess_cloud
+
+        cfg = self.cfg
+        n_raw_pad = cfg.npoint_max
+        pad = np.zeros((n_raw_pad, 3), np.float32)
+        n_raw = min(len(pc_raw), n_raw_pad)
+        pad[:n_raw] = pc_raw[:n_raw]
+        r1, r2 = jax.random.split(rng)
+        pre = preprocess_cloud(r1, jnp.asarray(pad), n_raw, cfg.res,
+                               npoint_pad=cfg.npoint_pad, knn=cfg.knn)
+        kwargs = {}
+        if laptop_up is not None:
+            kwargs = dict(laptop_up=jnp.asarray(laptop_up, jnp.float32),
+                          laptop_up_valid=jnp.asarray(True))
+        out = estimate_pose(
+            r2, self.params["point"], self.params["ppf"], pre.pc, pre.normals,
+            pre.n_valid, self.sphere, self.pcfg, **kwargs,
+        )
+        return out, pre
+
+
+def laptop_up_from_aux(img, depth_mask_idxs, pc, pre, segmenter, rng):
+    """Laptop lid/base split → up axis (reference nocs/inference.py:144-172).
+
+    Uses the FCN segmenter on the cropped RGB then a RANSAC plane fit on the
+    base points.  Returns a 3-vector or None.
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from cppf_tpu.ops.ransac import segment_plane
+
+    rows, cols = depth_mask_idxs
+    bbox = np.array([[rows.min(), rows.max()], [cols.min(), cols.max()]])
+    rgb_obj = np.zeros_like(img, dtype=np.float32)
+    rgb_obj[rows, cols] = img[rows, cols] / 255.0
+    crop = cv2.resize(rgb_obj[bbox[0, 0]:bbox[0, 1] + 1, bbox[1, 0]:bbox[1, 1] + 1], (224, 224))
+    pred = segmenter.predict(crop)  # [224,224] int, 0=base 1=lid
+    resize_scale = 224 / (bbox[:, 1] - bbox[:, 0])
+    pc_xy = np.stack([rows, cols], -1)
+    idxs_resized = np.clip(((pc_xy - bbox[:, 0]) * resize_scale).astype(np.int64), 0, 223)
+    labels = pred[idxs_resized[:, 0], idxs_resized[:, 1]]
+    base_pts = pc[labels == 0]
+    if (labels == 0).sum() < 10:
+        return None
+    pad = np.zeros((4096, 3), np.float32)
+    n = min(len(base_pts), 4096)
+    pad[:n] = base_pts[:n]
+    plane, _ = segment_plane(rng, jnp.asarray(pad), 0.02, 100,
+                             valid_mask=jnp.arange(4096) < n)
+    return np.asarray(plane)[:3]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seg_dir", default="data/nocs_seg")
+    parser.add_argument("--nocs_dir", default="data/nocs")
+    parser.add_argument("--out_dir", default="data/nocs_prediction")
+    parser.add_argument("--ckpt_path", default="checkpoints")
+    parser.add_argument("--angle_prec", type=float, default=1.5)
+    parser.add_argument("--num_rots", type=int, default=72)
+    parser.add_argument("--bbox_mask", action="store_true")
+    parser.add_argument("--adaptive_voting", action="store_true")
+    parser.add_argument("--max_frames", type=int, default=0, help="0 = all")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import cv2
+    import jax
+
+    from cppf_tpu.core.geometry import backproject
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    final_results = load_detection_priors(args.seg_dir)
+    if args.max_frames:
+        final_results = final_results[: args.max_frames]
+
+    runners = {}
+    segmenter = None
+    for cls_id in range(1, 7):
+        cls_name = SYNSET_NAMES[cls_id]
+        try:
+            runners[cls_name] = CategoryRunner(cls_name, args.ckpt_path, args)
+        except FileNotFoundError as e:
+            log.warning("skipping %s: %s", cls_name, e)
+    laptop_aux_dir = os.path.join(args.ckpt_path, "laptop_aux")
+    if "laptop" in runners and os.path.isdir(laptop_aux_dir):
+        from cppf_tpu.models.segmenter import SegmenterRunner
+
+        segmenter = SegmenterRunner(laptop_aux_dir)
+
+    rng = jax.random.PRNGKey(args.seed)
+    for res in final_results:
+        img_path = os.path.join(args.nocs_dir, res["image_path"][5:])
+        img = cv2.imread(img_path + "_color.png")[:, :, ::-1]
+        depth = cv2.imread(img_path + "_depth.png", -1)
+
+        bboxs = res["pred_bboxes"]
+        masks = res["pred_masks"].copy()
+        RTs = np.tile(np.eye(4, dtype=np.float32), (len(bboxs), 1, 1))
+        scales = np.ones((len(bboxs), 3), dtype=np.float32)
+        cls_ids = res["pred_class_ids"]
+
+        for i, bbox in enumerate(bboxs):
+            if args.bbox_mask:
+                masks[:, :, i][bbox[0]:bbox[2], bbox[1]:bbox[3]] = True
+            cls_name = SYNSET_NAMES[cls_ids[i]]
+            runner = runners.get(cls_name)
+            if runner is None:
+                continue
+
+            pc, idxs = backproject(depth, REAL275_INTRINSICS, masks[:, :, i])
+            pc = pc / 1000.0
+            pc[:, 0] = -pc[:, 0]
+            pc[:, 1] = -pc[:, 1]
+            if len(pc) < 20:
+                continue
+
+            laptop_up = None
+            rng, r_inst, r_plane = jax.random.split(rng, 3)
+            out, pre = runner.estimate(r_inst, pc.astype(np.float32))
+            if cls_name == "laptop" and segmenter is not None:
+                n = int(pre.n_valid)
+                laptop_up = laptop_up_from_aux(
+                    img, np.where(masks[:, :, i]), np.asarray(pre.pc)[:n], pre,
+                    segmenter, r_plane,
+                )
+                if laptop_up is not None:
+                    out, _ = runner.estimate(r_inst, pc.astype(np.float32), laptop_up)
+
+            RTs[i] = np.asarray(out.RT)
+            scales[i] = np.asarray(out.scale_unit)
+
+        res["pred_RTs"] = RTs
+        res["pred_scales"] = scales
+        out_path = os.path.join(
+            args.out_dir, "results_" + "_".join(res["image_path"].split("/")[1:]) + ".pkl")
+        with open(out_path, "wb") as f:
+            pickle.dump(res, f)
+        log.info("wrote %s", out_path)
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

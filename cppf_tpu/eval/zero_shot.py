@@ -1,0 +1,277 @@
+"""Zero-shot joint instance segmentation + 9D pose on a raw RGB-D frame.
+
+Equivalent of reference ``nocs/zero_shot.ipynb``: a *regression-variant*
+checkpoint (out_dim = 2+2+2+3 = 9; cls_bins=False) predicts raw
+(proj_len, dist2o, ψ_up, ψ_right, aux₂, log-scale₃) per pair; then
+
+1. whole-frame backprojection, two-level voxel quantisation (features at
+   ``res``, voting cloud at ``4·res``) — notebook cell 3;
+2. 5M random pairs, with indistinguishable coplanar pairs filtered out
+   (|n₁·n₂|>0.9 and both normals ⟂ the pair axis) — cell 6;
+3. one global adaptive center-vote heatmap — cell 8;
+4. Gaussian-smoothed iterative peak proposals with box-boundary contrast
+   threshold and suppression — cell 9;
+5. per proposal: back-vote filter → unsupervised instance mask from pair
+   membership counts (contrib > 12) → axis voting + aux flip → R/T/S —
+   cell 11.  (The notebook also recomputes a fine center grid it never
+   reads; we skip that dead work.)
+
+Usage:
+    python -m cppf_tpu.eval.zero_shot --ckpt checkpoints/bowl_reg \
+        [--color data/demo/0000_color.png --depth data/demo/0000_depth.png]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import List, NamedTuple
+
+import numpy as np
+
+log = logging.getLogger("cppf_tpu.zero_shot")
+
+DEMO_INTRINSICS = np.array([[591.0125, 0, 322.525], [0, 590.16775, 244.11084], [0, 0, 1]])
+
+
+class Detection(NamedTuple):
+    T: np.ndarray
+    R: np.ndarray
+    scale: np.ndarray       # absolute 3D scale
+    RT: np.ndarray          # [4,4] R*|s| convention
+    mask: np.ndarray        # [n_points] bool instance mask on the voting cloud
+    score: float
+
+
+def extract_proposals_host(grid: np.ndarray, corner: np.ndarray, res: float,
+                           thresh: float = 50.0, margin: int = 10):
+    """Notebook cell-9 proposal logic, verbatim semantics (host NumPy)."""
+    from scipy.ndimage import gaussian_filter
+
+    smoothed = gaussian_filter(grid, sigma=1)
+    proposals = []
+    max_val = None
+    while True:
+        loc = np.array(np.unravel_index(np.argmax(smoothed), smoothed.shape))
+        lll = np.maximum(np.zeros(3, int), loc - margin)
+        rrr = np.minimum(np.array(smoothed.shape) - 1, loc + margin)
+        nbr_val = (
+            np.mean(smoothed[lll[0]:rrr[0], lll[1], lll[2]])
+            + np.mean(smoothed[lll[0]:rrr[0], lll[1], rrr[2]])
+            + np.mean(smoothed[lll[0]:rrr[0], rrr[1], lll[2]])
+            + np.mean(smoothed[lll[0]:rrr[0], rrr[1], rrr[2]])
+            + np.mean(smoothed[lll[0], lll[1]:rrr[1], lll[2]])
+            + np.mean(smoothed[lll[0], lll[1]:rrr[1], rrr[2]])
+            + np.mean(smoothed[rrr[0], lll[1]:rrr[1], lll[2]])
+            + np.mean(smoothed[rrr[0], lll[1]:rrr[1], rrr[2]])
+            + np.mean(smoothed[lll[0], lll[1], lll[2]:rrr[2]])
+            + np.mean(smoothed[lll[0], rrr[1], lll[2]:rrr[2]])
+            + np.mean(smoothed[rrr[0], lll[1], lll[2]:rrr[2]])
+            + np.mean(smoothed[rrr[0], rrr[1], lll[2]:rrr[2]])
+        ) / 12
+        diff = smoothed[loc[0], loc[1], loc[2]] - nbr_val
+        if diff > thresh:
+            if max_val is None:
+                max_val = diff
+            proposals.append((corner + loc * res, float(diff)))
+        if diff < thresh or diff < max_val * 0.7:
+            break
+        smoothed[lll[0]:rrr[0], lll[1]:rrr[1], lll[2]:rrr[2]] = 0
+    return proposals
+
+
+def filter_degenerate_pairs(pc, pc_normal, point_idxs):
+    """Drop coplanar-indistinguishable pairs (notebook cell 6)."""
+    n1 = pc_normal[point_idxs[:, 0]]
+    n2 = pc_normal[point_idxs[:, 1]]
+    ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
+    ab = ab / (np.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
+    bad = (
+        (np.abs(np.sum(n1 * n2, -1)) > 0.9)
+        & (np.abs(np.sum(ab * n1, -1)) < 0.1)
+        & (np.abs(np.sum(ab * n2, -1)) < 0.1)
+    )
+    return point_idxs[~bad]
+
+
+def zero_shot_detect(
+    depth: np.ndarray,
+    params: dict,
+    cfg,
+    intrinsics: np.ndarray = DEMO_INTRINSICS,
+    n_pairs: int = 5000000,
+    num_rots: int = 72,
+    angle_tol: float = 2.0,
+    prop_thresh: float = 50.0,
+    contrib_thresh: int = 12,
+    seed: int = 0,
+    predict_fn=None,
+) -> List[Detection]:
+    import jax
+    import jax.numpy as jnp
+
+    from cppf_tpu.core.geometry import backproject, fibonacci_sphere
+    from cppf_tpu.models.encoders import PointEncoder, PPFEncoder
+    from cppf_tpu.ops.knn import knn_indices
+    from cppf_tpu.ops.normals import estimate_normals
+    from cppf_tpu.ops.voting import backvote, ppf_vote, rot_vote, sphere_bin_count
+    from cppf_tpu.data.native import voxel_downsample_host
+
+    rng = np.random.default_rng(seed)
+    res = cfg.res
+    knn = cfg.knn
+
+    # --- cell 3: whole-frame cloud, two-level quantisation ------------------
+    pc_full, _ = backproject(depth, intrinsics, np.ones_like(depth, dtype=bool))
+    pc_full = pc_full / 1000.0
+    pc_full = pc_full + np.clip(res / 4 * rng.standard_normal(pc_full.shape), -res / 2, res / 2)
+    pc_full[:, 0] = -pc_full[:, 0]
+    pc_full[:, 1] = -pc_full[:, 1]
+
+    hi_idx = voxel_downsample_host(pc_full.astype(np.float32), res)
+    high_pc = pc_full[hi_idx].astype(np.float32)
+    nbr_idx = knn_indices(jnp.asarray(high_pc), knn)
+    high_normal = np.asarray(estimate_normals(jnp.asarray(high_pc), knn, nbr_idx=nbr_idx))
+
+    lo_idx = voxel_downsample_host(high_pc, res * 4)
+    pc = high_pc[lo_idx]
+    pc_normal = high_normal[lo_idx]
+    n = len(pc)
+    log.info("clouds: %d full -> %d high -> %d sparse", len(pc_full), len(high_pc), n)
+
+    # --- cells 5-7: pairs, filter, features ---------------------------------
+    point_idxs = rng.integers(0, n, (n_pairs, 2))
+    point_idxs = filter_degenerate_pairs(pc, pc_normal, point_idxs).astype(np.int32)
+    log.info("pairs after degenerate filter: %d", len(point_idxs))
+
+    if predict_fn is not None:
+        preds = np.asarray(predict_fn(pc, pc_normal, point_idxs))
+    else:
+        point_enc = PointEncoder(spfcs=(32, 64, 32, 32), out_dim=32, num_layers=1)
+        ppf_enc = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=9)
+        feat_high = point_enc.apply(params["point"], jnp.asarray(high_pc),
+                                    jnp.asarray(high_normal), nbr_idx)
+        feat = feat_high[jnp.asarray(lo_idx)]
+        preds = np.asarray(
+            ppf_enc.apply(params["ppf"], jnp.asarray(pc), jnp.asarray(pc_normal), feat,
+                          jnp.asarray(point_idxs))
+        )
+    preds_tr = preds[:, :2]
+    preds_up = preds[:, 2]
+    preds_up_aux = preds[:, 4]
+    preds_scale = preds[:, 6:9]
+
+    # --- cell 8: global heatmap (always adaptive) ----------------------------
+    corner = pc.min(0)
+    dims = ((pc.max(0) - corner) / res).astype(np.int32) + 1
+    gshape = tuple(int(np.ceil(d / 8) * 8) for d in dims)
+    grid = np.asarray(ppf_vote(
+        jnp.asarray(pc), jnp.asarray(preds_tr), jnp.ones(n, np.float32),
+        jnp.asarray(point_idxs), jnp.asarray(corner), res, jnp.asarray(dims),
+        gshape, n_rots=num_rots, adaptive=True,
+    ))[: dims[0], : dims[1], : dims[2]]
+
+    # --- cell 9: proposals ----------------------------------------------------
+    proposals = extract_proposals_host(grid, corner, res, thresh=prop_thresh)
+    log.info("%d proposals", len(proposals))
+
+    sphere = fibonacci_sphere(int(4 * np.pi / np.deg2rad(angle_tol))).astype(np.float32)
+    cos_tol = np.cos(np.deg2rad(angle_tol))
+    detections: List[Detection] = []
+
+    for T_est, diff in proposals:
+        # back-vote membership (cell 11)
+        _, pmask = backvote(
+            jnp.asarray(pc), jnp.asarray(preds_tr), jnp.asarray(point_idxs),
+            jnp.asarray(corner), res, jnp.asarray(dims),
+            jnp.asarray(T_est, jnp.float32), 3 * res, n_rots=num_rots,
+        )
+        pmask = np.asarray(pmask)
+        masked = point_idxs[pmask]
+        if len(masked) == 0:
+            continue
+        contrib = np.bincount(masked.reshape(-1), minlength=n)
+        pc_sel = contrib > contrib_thresh
+        keep = pc_sel[masked[:, 0]] | pc_sel[masked[:, 1]]
+        masked = masked[keep]
+        if len(masked) < 10:
+            continue
+
+        # axis voting on up to 10k member pairs
+        member_angles = preds_up[pmask][keep]
+        perm = rng.permutation(len(masked))[:10000]
+        sub = masked[perm]
+        cands = np.asarray(rot_vote(
+            jnp.asarray(pc), jnp.asarray(member_angles[perm]),
+            jnp.asarray(sub), n_rots=num_rots,
+        ))
+        counts = np.asarray(sphere_bin_count(
+            jnp.asarray(cands.reshape(-1, 3)), jnp.asarray(sphere), cos_tol))
+        best_up = sphere[np.argmax(counts)]
+
+        # aux disambiguation over member pairs
+        ab = pc[masked[:, 0]] - pc[masked[:, 1]]
+        abu = ab / (np.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
+        nrm = pc_normal[masked[:, 0]].copy()
+        nrm[np.sum(nrm * abu, -1) < 0] *= -1
+        target = (np.sum(nrm * best_up, -1) > 0).astype(np.float32)
+        logits = preds_up_aux[pmask][keep]
+        def bce(t):
+            return np.mean(np.maximum(logits, 0) - logits * t + np.log1p(np.exp(-np.abs(logits))))
+        up = -best_up if bce(1.0 - target) < bce(target) else best_up
+
+        right = np.array([0, -up[2], up[1]])
+        right = right / np.linalg.norm(right)
+        R_est = np.stack([right, up, np.cross(right, up)], -1)
+
+        pred_scale = np.mean(np.exp(preds_scale[pmask][keep]) * np.asarray(cfg.scale_mean) * 2, 0)
+        s_norm = np.linalg.norm(pred_scale)
+        RT = np.eye(4)
+        RT[:3, :3] = R_est * s_norm
+        RT[:3, 3] = T_est
+        detections.append(Detection(T_est, R_est, pred_scale, RT, pc_sel, diff))
+
+    return detections
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", required=True, help="regression-variant checkpoint dir")
+    parser.add_argument("--color", default="data/demo/0000_color.png")
+    parser.add_argument("--depth", default="data/demo/0000_depth.png")
+    parser.add_argument("--out", default="zero_shot_vis.png")
+    parser.add_argument("--n_pairs", type=int, default=5000000)
+    args = parser.parse_args(argv)
+
+    import cv2
+
+    from cppf_tpu.config import load_config
+    from cppf_tpu.core.geometry import (
+        calculate_2d_projections, get_3d_bbox, transform_coordinates_3d,
+    )
+    from cppf_tpu.train.checkpoints import maybe_load_any
+    import os
+
+    snap = os.path.join(args.ckpt, "config.yaml")
+    cfg = load_config("bowl", snapshot=snap if os.path.exists(snap) else None)
+    cfg.cls_bins = False
+    params = maybe_load_any(args.ckpt, name="params_best") or maybe_load_any(args.ckpt, name="best")
+    assert params is not None, f"no checkpoint under {args.ckpt}"
+
+    depth = cv2.imread(args.depth, -1)
+    dets = zero_shot_detect(depth, params, cfg, n_pairs=args.n_pairs)
+    print(f"{len(dets)} detections")
+    img = cv2.imread(args.color)[:, :, ::-1].copy()
+    for d in dets:
+        bbox3d = get_3d_bbox(d.scale / np.linalg.norm(d.scale), 0)
+        proj = calculate_2d_projections(transform_coordinates_3d(bbox3d, d.RT), DEMO_INTRINSICS)
+        for i, j in [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7), (6, 7),
+                     (0, 4), (1, 5), (2, 6), (3, 7)]:
+            cv2.line(img, tuple(proj[i]), tuple(proj[j]), (255, 0, 0), 2)
+        print("T:", d.T, "scale:", d.scale)
+    cv2.imwrite(args.out, img[:, :, ::-1])
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

@@ -1,0 +1,126 @@
+"""End-to-end driver plumbing: synthetic NOCS-format data → inference CLI →
+reference-format pkls → eval CLI → mAP arrays.
+
+Uses a random-init checkpoint (pose quality is irrelevant; the formats,
+frames and protocol plumbing are what's under test).
+"""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+
+from cppf_tpu.config import load_config
+from cppf_tpu.data.shapenet import TRAIN_INTRINSICS
+from cppf_tpu.data import native
+from cppf_tpu.data.synthetic import PRIMITIVES, sample_surface
+from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS, SYNSET_NAMES
+
+
+def _make_checkpoint(tmp_path, category="bowl"):
+    from cppf_tpu.pipeline.pose import make_models
+    from cppf_tpu.train.checkpoints import save_params
+    import jax.numpy as jnp
+    from cppf_tpu.ops.knn import knn_indices
+
+    cfg = load_config(category)
+    cfg.infer_pairs = 4096
+    cfg.npoint_pad = 1024
+    cfg.npoint_max = 4000
+    cfg.knn = 16
+    ckpt_dir = tmp_path / "checkpoints" / category
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg.save(str(ckpt_dir / "config.yaml"))
+
+    point_enc, ppf_enc = make_models(cfg)
+    pc = jnp.zeros((64, 3))
+    nbr = knn_indices(pc, cfg.knn)
+    p_pt = point_enc.init(jax.random.PRNGKey(0), pc, pc, nbr)
+    feat = point_enc.apply(p_pt, pc, pc, nbr)
+    p_pf = ppf_enc.init(jax.random.PRNGKey(1), pc, pc, feat, jnp.zeros((4, 2), jnp.int32))
+    save_params(str(ckpt_dir), {"point": p_pt, "ppf": p_pf}, name="params_best")
+    return cfg
+
+
+def _make_nocs_frame(tmp_path, rng):
+    """Rasterise a bowl into a NOCS-style uint16 depth png + detection pkl."""
+    import cv2
+
+    mesh = PRIMITIVES["bowl"]()
+    T = np.float32([0.05, -0.05, 0.8])
+    # NOCS camera: our renderer convention has -z forward; the NOCS frame
+    # used at inference re-negates x/y after backprojection
+    v_cam = mesh.vertices * 1.2 + np.float32([T[0], T[1], -T[2]])
+    K = REAL275_INTRINSICS
+    depth = native.rasterize_depth(v_cam, mesh.faces, K[0, 0], K[1, 1], K[0, 2], K[1, 2], 640, 480)
+    depth_mm = (depth * 1000).astype(np.uint16)
+    mask = depth > 0
+    assert mask.sum() > 500
+
+    frame_dir = tmp_path / "nocs" / "real" / "scene_1"
+    os.makedirs(frame_dir, exist_ok=True)
+    cv2.imwrite(str(frame_dir / "0000_depth.png"), depth_mm)
+    cv2.imwrite(str(frame_dir / "0000_color.png"), np.zeros((480, 640, 3), np.uint8))
+
+    rows, cols = np.where(mask)
+    bbox = np.array([rows.min(), cols.min(), rows.max(), cols.max()])
+    gt_RT = np.eye(4, dtype=np.float32)
+    gt_RT[:3, 3] = T
+    result = {
+        "image_path": "data/real/scene_1/0000",
+        "pred_bboxes": bbox[None].astype(np.int32),
+        "pred_masks": mask[:, :, None],
+        "pred_class_ids": np.array([SYNSET_NAMES.index("bowl")], np.int32),
+        "pred_scores": np.array([0.9], np.float32),
+        "gt_class_ids": np.array([SYNSET_NAMES.index("bowl")], np.int32),
+        "gt_RTs": gt_RT[None],
+        "gt_scales": np.array([[0.6, 0.3, 0.6]], np.float32),
+        "gt_handle_visibility": np.array([1], np.int32),
+    }
+    seg_dir = tmp_path / "seg"
+    os.makedirs(seg_dir, exist_ok=True)
+    with open(seg_dir / "results_real_scene1_0000.pkl", "wb") as f:
+        pickle.dump(result, f)
+    return seg_dir, tmp_path / "nocs"
+
+
+def test_nocs_inference_and_eval_chain(tmp_path, rng):
+    from cppf_tpu.eval import nocs_eval, nocs_inference
+
+    _make_checkpoint(tmp_path, "bowl")
+    seg_dir, nocs_dir = _make_nocs_frame(tmp_path, rng)
+    out_dir = tmp_path / "pred"
+
+    nocs_inference.main([
+        "--seg_dir", str(seg_dir), "--nocs_dir", str(nocs_dir),
+        "--out_dir", str(out_dir), "--ckpt_path", str(tmp_path / "checkpoints"),
+    ])
+
+    pkls = sorted(os.listdir(out_dir))
+    assert pkls, "no prediction pkls written"
+    with open(out_dir / pkls[0], "rb") as f:
+        res = pickle.load(f)
+    assert res["pred_RTs"].shape == (1, 4, 4)
+    assert np.isfinite(res["pred_RTs"]).all()
+    assert res["pred_scales"].shape == (1, 3)
+    # R*|s| convention: rotation part has uniform positive determinant
+    det = np.linalg.det(res["pred_RTs"][0][:3, :3])
+    assert det > 0
+    np.testing.assert_allclose(np.linalg.norm(res["pred_scales"][0]), 1.0, atol=1e-5)
+
+    iou_aps, pose_aps, _, _ = nocs_eval.main(["--pred_dir", str(out_dir), "--subsample", "1"])
+    assert iou_aps.shape == (len(SYNSET_NAMES) + 1, 101)
+    assert pose_aps.shape == (len(SYNSET_NAMES) + 1, 4, 4)
+    assert np.all((iou_aps >= 0) & (iou_aps <= 1))
+
+
+def test_sunrgbd_depth_decode():
+    from cppf_tpu.eval.sunrgbd_inference import decode_sunrgbd_depth
+
+    raw = np.array([0, 8, 65535, 1 << 15], np.uint16)
+    dec = decode_sunrgbd_depth(raw)
+    assert dec[0] == 0
+    assert dec[1] == 1            # (8>>3)|(8<<13 overflow wraps) = 1
+    assert dec.max() <= 8000

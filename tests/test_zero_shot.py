@@ -1,0 +1,109 @@
+"""Zero-shot multi-instance pipeline with a GT-oracle regression network on a
+synthetic two-object depth frame."""
+import numpy as np
+
+from cppf_tpu.config import load_config
+from cppf_tpu.data import native
+from cppf_tpu.data.shapenet import TRAIN_INTRINSICS
+from cppf_tpu.data.synthetic import PRIMITIVES
+from cppf_tpu.eval.zero_shot import extract_proposals_host, filter_degenerate_pairs, zero_shot_detect
+
+
+def _two_object_depth():
+    """Two cylinders side by side, rendered to a depth map (mm uint16)."""
+    mesh = PRIMITIVES["can"]()
+    centers_render = [np.float32([-0.12, 0.0, -0.7]), np.float32([0.12, 0.03, -0.8])]
+    K = TRAIN_INTRINSICS
+    depth = np.zeros((480, 640), np.float32)
+    for c in centers_render:
+        v = mesh.vertices * 1.5 + c
+        d = native.rasterize_depth(v, mesh.faces, K[0, 0], K[1, 1], K[0, 2], K[1, 2], 640, 480)
+        depth = np.where((depth == 0) | ((d > 0) & (d < depth)), d, depth)
+    # centers in the zero-shot cloud frame (x unchanged, y flipped twice→, z>0):
+    # backproject negates x,y; the script re-negates x,y; z stays +depth.
+    centers_cloud = [np.array([c[0], c[1], -c[2]]) for c in centers_render]
+    return (depth * 1000).astype(np.uint16), centers_cloud, mesh
+
+
+def _oracle_predict(centers, cfg):
+    """GT regression preds: pairs within one object vote for its center;
+    cross-object pairs get uninformative values."""
+
+    def predict(pc, pc_normal, idxs):
+        a = pc[idxs[:, 0]]
+        b = pc[idxs[:, 1]]
+        # assign each point to the nearest object center
+        d2 = np.stack([np.linalg.norm(pc - c, axis=-1) for c in centers], -1)
+        owner = np.argmin(d2, -1)
+        same = owner[idxs[:, 0]] == owner[idxs[:, 1]]
+        T = np.stack(centers)[owner[idxs[:, 0]]]
+
+        d = a - b
+        du = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-7)
+        rel = a - T
+        proj = np.sum(rel * du, -1)
+        odist = np.linalg.norm(rel - proj[:, None] * du, axis=-1)
+        up_ang = np.arccos(np.clip(du[:, 1], -1, 1))
+        up_ang = np.minimum(up_ang, np.pi - up_ang)  # can is up_sym
+        n_a = pc_normal[idxs[:, 0]].copy()
+        n_a[np.sum(n_a * du, -1) < 0] *= -1
+        aux_up = (n_a[:, 1] > 0).astype(np.float32)
+
+        scale_logit = np.log(np.array([0.105, 0.15, 0.105]) / 2 / np.asarray(cfg.scale_mean))
+        out = np.zeros((len(idxs), 9), np.float32)
+        out[:, 0] = np.where(same, proj, 10.0)       # push cross-object votes off-grid
+        out[:, 1] = np.where(same, odist, 10.0)
+        out[:, 2] = up_ang
+        out[:, 4] = (aux_up * 2 - 1) * 50
+        out[:, 6:9] = scale_logit
+        return out
+
+    return predict
+
+
+def test_zero_shot_two_instances(rng):
+    cfg = load_config("can")
+    depth, centers, _ = _two_object_depth()
+    dets = zero_shot_detect(
+        depth, params=None, cfg=cfg, intrinsics=TRAIN_INTRINSICS,
+        n_pairs=200000, num_rots=36, prop_thresh=20.0,
+        predict_fn=_oracle_predict(centers, cfg), seed=0,
+    )
+    assert len(dets) >= 2, f"expected >=2 detections, got {len(dets)}"
+    found = []
+    for c in centers:
+        errs = [np.linalg.norm(d.T - c) for d in dets]
+        found.append(min(errs))
+    assert max(found) < 0.03, f"center errors {found}"
+    # instance masks are disjoint-ish and non-trivial
+    m0 = dets[0].mask
+    m1 = dets[1].mask
+    assert m0.sum() > 20 and m1.sum() > 20
+    overlap = (m0 & m1).sum() / min(m0.sum(), m1.sum())
+    assert overlap < 0.3, f"instance masks overlap {overlap}"
+
+
+def test_filter_degenerate_pairs(rng):
+    # coplanar points with identical normals → pairs dropped
+    pc = np.zeros((50, 3), np.float32)
+    pc[:, :2] = rng.uniform(-1, 1, (50, 2))
+    nrm = np.tile(np.float32([0, 0, 1]), (50, 1))
+    idxs = rng.integers(0, 50, (100, 2))
+    kept = filter_degenerate_pairs(pc, nrm, idxs)
+    assert len(kept) == 0
+    # curved surface normals → kept
+    nrm2 = rng.normal(size=(50, 3)).astype(np.float32)
+    nrm2 /= np.linalg.norm(nrm2, axis=-1, keepdims=True)
+    kept2 = filter_degenerate_pairs(pc, nrm2, idxs)
+    assert len(kept2) > 50
+
+
+def test_extract_proposals_host():
+    grid = np.zeros((40, 40, 40), np.float32)
+    grid[10, 10, 10] = 5000.0
+    grid[30, 25, 20] = 3000.0
+    corner = np.zeros(3)
+    props = extract_proposals_host(grid, corner, 0.01, thresh=10.0, margin=5)
+    assert len(props) == 2
+    np.testing.assert_allclose(props[0][0], [0.10, 0.10, 0.10], atol=1e-6)
+    np.testing.assert_allclose(props[1][0], [0.30, 0.25, 0.20], atol=1e-6)
