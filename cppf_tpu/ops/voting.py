@@ -81,7 +81,71 @@ def _adaptive_rots(odist, res, n_rots: int, adaptive: bool):
     return jnp.full(odist.shape, n_rots, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "n_rots", "adaptive", "chunk"))
+def _vote_ids_vals(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
+                   n_rots, adaptive, pair_mask, splat: str = "trilinear"):
+    """Shared candidate math: flat voxel ids + trilinear weights per vote.
+
+    Everything is computed **componentwise** as [P, R] arrays — never
+    [P, R, 3] or [P, R, 2, 2, 2] — because tiny trailing dimensions get
+    padded to the 128-lane TPU tile (a 40-60x memory blowup that dominated
+    the original formulation).  Returns (ids [8·P·R], vals [8·P·R]).
+    """
+    gx, gy, gz = grid_shape
+    a, ab_unit, degenerate, co_unit = pair_frames(pc, point_idxs)
+    proj_len, odist = preds_tr[:, 0], preds_tr[:, 1]
+    m = _adaptive_rots(odist, res, n_rots, adaptive)
+
+    c = a - ab_unit * proj_len[:, None]           # [P, 3]
+    x = co_unit * odist[:, None]
+    y = jnp.cross(x, ab_unit)
+    i = jnp.arange(n_rots, dtype=pc.dtype)
+    angle = i[None, :] * (TWO_PI / jnp.maximum(m, 1).astype(pc.dtype))[:, None]  # [P, R]
+    rot_valid = i[None, :] < m[:, None]
+    cos_a, sin_a = jnp.cos(angle), jnp.sin(angle)
+
+    w = jnp.maximum(probs[point_idxs[:, 0]], probs[point_idxs[:, 1]])
+    valid = rot_valid & (~degenerate)[:, None] & pair_mask[:, None]
+
+    gcomp = []
+    fcomp = []
+    rcomp = []
+    caps = (gx, gy, gz)
+    for k in range(3):
+        gk = (c[:, k, None] + cos_a * x[:, k, None] + sin_a * y[:, k, None]
+              - corner[k]) / res                                  # [P, R]
+        valid = valid & (gk >= 0.01) & (gk < dims_f[k] - 1.01)
+        fk = jnp.clip(jnp.floor(gk).astype(jnp.int32), 0, caps[k] - 2)
+        gcomp.append(gk)
+        fcomp.append(fk)
+        rcomp.append(gk - fk)
+    fx, fy, fz = fcomp
+    rx, ry, rz = rcomp
+    base = (fx * gy + fy) * gz + fz
+    wv = jnp.where(valid, w[:, None], 0.0)
+
+    if splat == "nearest":
+        # single-corner splat: 8x fewer scatter-adds; peak location is
+        # preserved to within one voxel (argmax is all downstream consumers
+        # read at `res` quantisation anyway) — the fast production mode.
+        nx = jnp.where(rx > 0.5, fx + 1, fx)
+        ny = jnp.where(ry > 0.5, fy + 1, fy)
+        nz = jnp.where(rz > 0.5, fz + 1, fz)
+        return ((nx * gy + ny) * gz + nz).reshape(-1), wv.reshape(-1)
+
+    ids = []
+    vals = []
+    for dx_ in (0, 1):
+        for dy_ in (0, 1):
+            for dz_ in (0, 1):
+                wk = ((rx if dx_ else 1.0 - rx)
+                      * (ry if dy_ else 1.0 - ry)
+                      * (rz if dz_ else 1.0 - rz)) * wv
+                ids.append((base + dx_ * (gy * gz) + dy_ * gz + dz_).reshape(-1))
+                vals.append(wk.reshape(-1))
+    return jnp.concatenate(ids), jnp.concatenate(vals)
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "n_rots", "adaptive", "chunk", "splat"))
 def ppf_vote(
     pc: jnp.ndarray,
     preds_tr: jnp.ndarray,
@@ -95,12 +159,15 @@ def ppf_vote(
     adaptive: bool = False,
     pair_mask: jnp.ndarray | None = None,
     chunk: int = 4096,
+    splat: str = "trilinear",
 ) -> jnp.ndarray:
     """Center-voting grid accumulation (reference models/voting.py:4-67).
 
     pc [N,3]; preds_tr [P,2] = (proj_len, odist); probs [N]; point_idxs [P,2];
     corner [3] world coords of voxel (0,0,0); grid_dims [3] runtime extent
     (int); grid_shape static padded extent.  Returns grid [gx, gy, gz] f32.
+    ``splat="trilinear"`` matches the reference's 8-corner weighting exactly;
+    ``splat="nearest"`` is the fast mode (one add per vote).
     """
     gx, gy, gz = grid_shape
     p = point_idxs.shape[0]
@@ -117,38 +184,10 @@ def ppf_vote(
 
     def body(k, grid_flat):
         sl = lambda arr: lax.dynamic_slice_in_dim(arr, k * chunk, chunk)
-        idxs = sl(point_idxs)
-        tr = sl(preds_tr)
-        pm = sl(pair_mask)
-        a, ab_unit, degenerate, co_unit = pair_frames(pc, idxs)
-        proj_len, odist = tr[:, 0], tr[:, 1]
-        m = _adaptive_rots(odist, res, n_rots, adaptive)
-        centers, _, rot_valid = _circle_points(a, ab_unit, co_unit, proj_len, odist, n_rots, m)
-
-        g = (centers - corner) / res                      # [C, R, 3]
-        in_bounds = jnp.all(
-            jnp.logical_and(g >= 0.01, g < dims_f - 1.01), axis=-1
+        ids, vals = _vote_ids_vals(
+            pc, sl(preds_tr), probs, sl(point_idxs), corner, res, dims_f,
+            grid_shape, n_rots, adaptive, sl(pair_mask), splat,
         )
-        valid = rot_valid & in_bounds & (~degenerate)[:, None] & pm[:, None]
-
-        floor = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, jnp.array([gx - 2, gy - 2, gz - 2]))
-        r = g - floor
-        w = probs[idxs[:, 0]]
-        w = jnp.maximum(w, probs[idxs[:, 1]])
-        w = jnp.where(valid, w[:, None], 0.0)             # [C, R]
-
-        base = (floor[..., 0] * gy + floor[..., 1]) * gz + floor[..., 2]
-        wx = jnp.stack([1.0 - r[..., 0], r[..., 0]], -1)  # [C, R, 2]
-        wy = jnp.stack([1.0 - r[..., 1], r[..., 1]], -1)
-        wz = jnp.stack([1.0 - r[..., 2], r[..., 2]], -1)
-        # [C, R, 2, 2, 2] corner weights, ids
-        w8 = wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
-        dx = jnp.arange(2) * (gy * gz)
-        dy = jnp.arange(2) * gz
-        dz = jnp.arange(2)
-        id8 = base[..., None, None, None] + dx[:, None, None] + dy[None, :, None] + dz[None, None, :]
-        vals = (w8 * w[..., None, None, None]).reshape(-1)
-        ids = id8.reshape(-1)
         return grid_flat.at[ids].add(vals, mode="drop")
 
     grid_flat = jnp.zeros((gx * gy * gz,), jnp.float32)

@@ -48,6 +48,8 @@ class PoseConfig:
     angle_prec: float = 1.5
     adaptive_voting: bool = False
     grid_shape: Tuple[int, int, int] = (64, 64, 64)
+    # "trilinear" = reference-exact 8-corner splat; "nearest" = fast mode
+    splat: str = "trilinear"
     # scale assembly multiplier: 2 for NOCS (reference nocs/inference.py:335),
     # 1 for SUN RGB-D (reference sunrgbd/inference.py:281)
     scale_multiplier: float = 2.0
@@ -161,6 +163,7 @@ def pair_predictions(
     pc_normal: jnp.ndarray,
     n_valid,
     pcfg: PoseConfig,
+    nbr_idx: jnp.ndarray | None = None,
 ):
     """Network half: sample pairs and run SPRIN + PPF head.
 
@@ -172,7 +175,7 @@ def pair_predictions(
     out_dim = 2 * pcfg.tr_num_bins + 2 * pcfg.rot_num_bins + 2 + 3
     ppf_encoder = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=out_dim)
 
-    nbr = knn_indices(pc, pcfg.knn, valid_mask)
+    nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
     feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
 
     u = jax.random.uniform(rng, (pcfg.n_pairs, 2))
@@ -227,6 +230,7 @@ def vote_pose(
     grid = ppf_vote(
         pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
         pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
+        splat=pcfg.splat,
     )
     T_est = grid_argmax(grid, corner, pcfg.res)
 
@@ -306,6 +310,7 @@ def estimate_pose(
     probs: jnp.ndarray | None = None,
     laptop_up: jnp.ndarray | None = None,
     laptop_up_valid: jnp.ndarray | None = None,
+    nbr_idx: jnp.ndarray | None = None,
 ) -> PoseResult:
     """Single-instance 9D pose, fully on device.
 
@@ -316,7 +321,7 @@ def estimate_pose(
     """
     rng_pairs, rng_vote = jax.random.split(rng)
     point_idxs, preds = pair_predictions(
-        rng_pairs, point_params, ppf_params, pc, pc_normal, n_valid, pcfg
+        rng_pairs, point_params, ppf_params, pc, pc_normal, n_valid, pcfg, nbr_idx
     )
     return vote_pose(
         rng_vote, pc, pc_normal, point_idxs, preds, n_valid, sphere_pts, pcfg,

@@ -23,6 +23,7 @@ class PreprocessedCloud(NamedTuple):
     normals: jnp.ndarray   # [M, 3]
     n_valid: jnp.ndarray   # int32
     valid_mask: jnp.ndarray  # [M] bool
+    nbr_idx: jnp.ndarray   # [M, knn] KNN indices (reused by the encoders)
 
 
 @partial(jax.jit, static_argnames=("npoint_pad", "knn", "jitter"))
@@ -54,6 +55,9 @@ def preprocess_cloud(
     pc = pc_raw[take]
     valid = jnp.arange(npoint_pad) < n_keep
     pc = jnp.where(valid[:, None], pc, 0.0)
-    normals = estimate_normals(pc, knn, valid)
+    from cppf_tpu.ops.knn import knn_indices
+
+    nbr_idx = knn_indices(pc, knn, valid)
+    normals = estimate_normals(pc, knn, valid, nbr_idx=nbr_idx)
     normals = jnp.where(valid[:, None], normals, 0.0)
-    return PreprocessedCloud(pc, normals, n_keep.astype(jnp.int32), valid)
+    return PreprocessedCloud(pc, normals, n_keep.astype(jnp.int32), valid, nbr_idx)
