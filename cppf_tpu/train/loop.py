@@ -16,6 +16,7 @@ Usage:
 """
 from __future__ import annotations
 
+import json
 import logging
 import os
 import sys
@@ -110,6 +111,7 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
     rng = jax.random.PRNGKey(1)
     best_loss = np.inf
     history = []
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
     for epoch in range(cfg.max_epoch):
         meters: dict[str, AverageMeter] = {}
         t0 = time.time()
@@ -123,6 +125,8 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
                 meters.setdefault(k, AverageMeter()).update(float(v))
         avg = {k: m.avg for k, m in meters.items()}
         history.append(avg)
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps({"epoch": epoch, "wall_s": round(time.time() - t0, 2), **avg}) + "\n")
         log.info(
             "epoch %d  %s  (%.1fs)", epoch,
             "  ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())),

@@ -1,0 +1,119 @@
+"""End-to-end synthetic quality benchmark: render frames of posed primitives,
+run the full inference driver with a trained checkpoint, evaluate with the
+NOCS mAP protocol.
+
+This closes the loop train → infer → eval with real numbers in any
+environment (the actual NOCS REAL275 / SUN RGB-D datasets are external).
+
+Usage:
+    PYTHONPATH=. python scripts/synthetic_benchmark.py --ckpt_path checkpoints \
+        --category bowl --n_frames 20 [--out_dir /tmp/synth_bench]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cppf_tpu.config import load_config
+from cppf_tpu.data import native
+from cppf_tpu.data.synthetic import PRIMITIVES, mesh_bounds, random_pose, sample_surface
+from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS, SYNSET_NAMES
+
+
+def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0):
+    """NOCS-format frames (depth png + detection pkl) of a posed primitive."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    mesh = PRIMITIVES[category]()
+    lo, hi = mesh_bounds(mesh)
+    cls_id = SYNSET_NAMES.index(category)
+    K = REAL275_INTRINSICS
+
+    seg_dir = os.path.join(out_root, "seg")
+    nocs_dir = os.path.join(out_root, "nocs")
+    os.makedirs(seg_dir, exist_ok=True)
+
+    for f_idx in range(n_frames):
+        R, T = random_pose(rng)
+        T = T.copy()
+        T[2] = -T[2]  # camera frame: object in front at +z after NOCS flips
+        scale = float(rng.uniform(0.9, 1.3))
+        v_canon = (mesh.vertices - (lo + hi) / 2) * scale
+        v_cam_nocs = v_canon @ R.T + T
+        # our rasterizer looks down -z; NOCS backproject negates x,y and the
+        # driver re-negates them, so render at (x, y, -z)
+        v_render = v_cam_nocs * np.float32([1, 1, -1])
+        depth = native.rasterize_depth(v_render, mesh.faces, K[0, 0], K[1, 1],
+                                       K[0, 2], K[1, 2], 640, 480)
+        mask = depth > 0
+        if mask.sum() < 300:
+            continue
+        frame_dir = os.path.join(nocs_dir, "real", f"scene_1")
+        os.makedirs(frame_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(frame_dir, f"{f_idx:04d}_depth.png"),
+                    (depth * 1000).astype(np.uint16))
+        cv2.imwrite(os.path.join(frame_dir, f"{f_idx:04d}_color.png"),
+                    np.zeros((480, 640, 3), np.uint8))
+
+        rows, cols = np.where(mask)
+        bbox = np.array([rows.min(), cols.min(), rows.max(), cols.max()])
+        # NOCS GT conventions: RT holds R*|s|, gt_scales the unit scale
+        bound = (hi - lo).copy()
+        bound[[0, 2]] = bound[[2, 0]]
+        abs_scale = bound * scale
+        s_norm = np.linalg.norm(abs_scale)
+        gt_RT = np.eye(4, dtype=np.float32)
+        gt_RT[:3, :3] = R * s_norm
+        gt_RT[:3, 3] = T
+        result = {
+            "image_path": f"data/real/scene_1/{f_idx:04d}",
+            "pred_bboxes": bbox[None].astype(np.int32),
+            "pred_masks": mask[:, :, None],
+            "pred_class_ids": np.array([cls_id], np.int32),
+            "pred_scores": np.array([1.0], np.float32),
+            "gt_class_ids": np.array([cls_id], np.int32),
+            "gt_RTs": gt_RT[None],
+            "gt_scales": (abs_scale / s_norm)[None].astype(np.float32),
+            "gt_handle_visibility": np.array([1], np.int32),
+        }
+        with open(os.path.join(seg_dir, f"results_real_scene1_{f_idx:04d}.pkl"), "wb") as f:
+            pickle.dump(result, f)
+    return seg_dir, nocs_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_path", default="checkpoints")
+    ap.add_argument("--category", default="bowl")
+    ap.add_argument("--n_frames", type=int, default=20)
+    ap.add_argument("--out_dir", default="/tmp/synth_bench")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from cppf_tpu.eval import nocs_eval, nocs_inference
+
+    seg_dir, nocs_dir = make_frames(args.out_dir, args.category, args.n_frames, args.seed)
+    pred_dir = os.path.join(args.out_dir, "pred")
+    nocs_inference.main([
+        "--seg_dir", seg_dir, "--nocs_dir", nocs_dir, "--out_dir", pred_dir,
+        "--ckpt_path", args.ckpt_path, "--seed", str(args.seed),
+    ])
+    iou_aps, pose_aps, _, _ = nocs_eval.main(["--pred_dir", pred_dir, "--subsample", "1"])
+    cls = SYNSET_NAMES.index(args.category)
+    print("\n=== synthetic benchmark summary ===")
+    print(f"category: {args.category}  frames: {args.n_frames}")
+    print(f"3D IoU@25: {iou_aps[cls, 25] * 100:.1f}   IoU@50: {iou_aps[cls, 50] * 100:.1f}")
+    for i, deg in enumerate([5, 10, 15]):
+        for j, cm in enumerate([5, 10, 15]):
+            print(f"pose AP {deg}deg {cm}cm: {pose_aps[cls, i, j] * 100:.1f}")
+
+
+if __name__ == "__main__":
+    main()
