@@ -327,3 +327,29 @@ def estimate_pose(
         rng_vote, pc, pc_normal, point_idxs, preds, n_valid, sphere_pts, pcfg,
         probs, laptop_up, laptop_up_valid,
     )
+
+
+@partial(jax.jit, static_argnames=("pcfg",))
+def estimate_pose_batch(
+    rngs: jax.Array,
+    point_params,
+    ppf_params,
+    pcs: jnp.ndarray,
+    pc_normals: jnp.ndarray,
+    n_valids: jnp.ndarray,
+    sphere_pts: jnp.ndarray,
+    pcfg: PoseConfig,
+    nbr_idxs: jnp.ndarray | None = None,
+) -> PoseResult:
+    """Multi-instance batched pose estimation (vmap over instances).
+
+    The reference processes instances in a serial Python loop
+    (nocs/inference.py:120); here a whole frame's crops run as one program.
+    rngs [B,2] PRNG keys; pcs [B,N,3]; returns a PoseResult of stacked leaves.
+    """
+
+    def one(rng, pc, nrm, nv, nbr):
+        return estimate_pose(rng, point_params, ppf_params, pc, nrm, nv,
+                             sphere_pts, pcfg, nbr_idx=nbr)
+
+    return jax.vmap(one)(rngs, pcs, pc_normals, n_valids, nbr_idxs)

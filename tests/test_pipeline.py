@@ -117,3 +117,41 @@ def test_estimate_pose_runs_with_random_weights(rng):
     # R orthonormal
     RtR = np.asarray(out.R).T @ np.asarray(out.R)
     np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
+
+
+def test_estimate_pose_batch(rng):
+    """Batched multi-instance inference agrees with per-instance calls."""
+    import jax
+    from cppf_tpu.pipeline.pose import estimate_pose_batch, make_models
+    from cppf_tpu.ops.knn import knn_indices
+
+    cfg = load_config("bowl")
+    cfg.knn = 16
+    pcfg = PoseConfig.from_config(cfg, n_pairs=1024)
+    pcfg = PoseConfig(**{**pcfg.__dict__, "knn": 16, "rot_subsample": 256})
+    pres = []
+    for seed in (0, 1):
+        _, pc_cam, _, _ = _posed_instance(np.random.default_rng(seed), "bowl", n=600)
+        pad = np.zeros((1024, 3), np.float32)
+        pad[:600] = pc_cam
+        pres.append(preprocess_cloud(jax.random.PRNGKey(seed), jnp.array(pad), 600,
+                                     cfg.res, npoint_pad=1024, knn=16))
+    point_enc, ppf_enc = make_models(cfg)
+    p_pt = point_enc.init(jax.random.PRNGKey(0), pres[0].pc, pres[0].normals, pres[0].nbr_idx)
+    feat = point_enc.apply(p_pt, pres[0].pc, pres[0].normals, pres[0].nbr_idx)
+    p_pf = ppf_enc.init(jax.random.PRNGKey(1), pres[0].pc, pres[0].normals, feat,
+                        jnp.zeros((4, 2), jnp.int32))
+    sphere = jnp.array(pcfg.sphere_points())
+    rngs = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    batched = estimate_pose_batch(
+        rngs, p_pt, p_pf,
+        jnp.stack([p.pc for p in pres]), jnp.stack([p.normals for p in pres]),
+        jnp.stack([p.n_valid for p in pres]), sphere, pcfg,
+        jnp.stack([p.nbr_idx for p in pres]),
+    )
+    for i in range(2):
+        single = estimate_pose(rngs[i], p_pt, p_pf, pres[i].pc, pres[i].normals,
+                               pres[i].n_valid, sphere, pcfg, nbr_idx=pres[i].nbr_idx)
+        np.testing.assert_allclose(np.asarray(batched.T)[i], np.asarray(single.T), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batched.R)[i], np.asarray(single.R), atol=1e-4)

@@ -76,3 +76,22 @@ def test_train_one_epoch_and_checkpoint(tmp_path):
     assert cfg2.category == cfg.category
     assert cfg2.res == cfg.res
     assert tuple(cfg2.vote_range) == tuple(cfg.vote_range)
+
+
+def test_regression_variant_training():
+    """cls_bins=False (zero-shot regression head) trains end-to-end."""
+    cfg = _small_cfg()
+    cfg.cls_bins = False
+    ds = ShapeNetRenderDataset(cfg, seed=0)
+    statics = TrainStatics.from_config(cfg)
+    assert cfg.out_dim == 9
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, cfg.npoint_pad)
+    samples = [ds.sample() for _ in range(2)]
+    batch = build_batch(cfg, jax.random.PRNGKey(1), samples, cfg.npoint_pad)
+    assert batch.tr_prob.shape == (2, cfg.train_pairs, 2)  # raw values, not bins
+    losses = []
+    for _ in range(10):
+        state, comps = train_step(state, batch, statics, tx)
+        losses.append(float(comps["loss"]))
+    assert losses[-1] < losses[0]
