@@ -96,7 +96,7 @@ def build_batch(cfg: Config, rng: jax.Array, samples, npoint_pad: int) -> Batch:
 
 
 def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
-          dataset=None) -> dict:
+          dataset=None, resume: bool = False) -> dict:
     out_dir = out_dir or os.path.join("checkpoints", cfg.category)
     os.makedirs(out_dir, exist_ok=True)
     cfg.save(os.path.join(out_dir, "config.yaml"))  # snapshot for inference
@@ -107,12 +107,19 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
     statics = TrainStatics.from_config(cfg)
     tx = make_optimizer(cfg)
     state = init_train_state(jax.random.PRNGKey(0), cfg, cfg.npoint_pad)
+    start_epoch = 0
+    if resume and os.path.isdir(os.path.join(out_dir, "best")):
+        # full resume (params + optimizer state + step) — the reference can
+        # only reload weights (SURVEY §5: save-only checkpoints)
+        state = checkpoints.load_train_state(out_dir, state, name="best")
+        start_epoch = int(state.step) // max(1, len(ds) // cfg.batch_size)
+        log.info("resumed from %s at step %d (epoch %d)", out_dir, int(state.step), start_epoch)
 
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.fold_in(jax.random.PRNGKey(1), start_epoch)
     best_loss = np.inf
     history = []
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
-    for epoch in range(cfg.max_epoch):
+    for epoch in range(start_epoch, cfg.max_epoch):
         meters: dict[str, AverageMeter] = {}
         t0 = time.time()
         steps = max(1, len(ds) // cfg.batch_size)
@@ -148,10 +155,11 @@ def main(argv=None):
     category = overrides.pop("category", "bowl")
     out_dir = overrides.pop("out_dir", None)
     epoch_len = overrides.pop("epoch_len", None)
+    resume = bool(overrides.pop("resume", False))
     cfg = load_config(category, overrides)
     log.info("training category=%s res=%g bins=(%d,%d) pairs=%d",
              cfg.category, cfg.res, cfg.tr_num_bins, cfg.rot_num_bins, cfg.train_pairs)
-    train(cfg, out_dir=out_dir, epoch_len=epoch_len)
+    train(cfg, out_dir=out_dir, epoch_len=epoch_len, resume=resume)
 
 
 if __name__ == "__main__":

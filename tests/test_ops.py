@@ -108,3 +108,25 @@ def test_extract_peaks_two_modes():
     assert (coords[0] == [8, 8, 8]).all()
     assert (coords[1] == [24, 20, 16]).all()
     assert bool(ok[0]) and bool(ok[1])
+
+
+def test_host_shard():
+    from cppf_tpu.parallel.input_pipeline import host_shard
+
+    items = list(range(10))
+    shards = [host_shard(items, i, 3) for i in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert all(len(s) >= 3 for s in shards)
+
+
+def test_viz_draw_box():
+    import numpy as np
+
+    from cppf_tpu.eval.viz import render_pose_overlay
+
+    img = np.zeros((480, 640, 3), np.uint8)
+    RT = np.eye(4)
+    RT[:3, 3] = [0, 0, 1.0]
+    K = np.array([[591.0, 0, 320], [0, 590.0, 240], [0, 0, 1.0]])
+    out = render_pose_overlay(img, RT, np.array([0.3, 0.2, 0.3]), K)
+    assert out.sum() > 0  # something was drawn
