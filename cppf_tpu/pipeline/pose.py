@@ -50,6 +50,8 @@ class PoseConfig:
     grid_shape: Tuple[int, int, int] = (64, 64, 64)
     # "trilinear" = reference-exact 8-corner splat; "nearest" = fast mode
     splat: str = "trilinear"
+    # use the fused Pallas sphere-binning kernel instead of the chunked XLA one
+    pallas_sphere: bool = False
     # scale assembly multiplier: 2 for NOCS (reference nocs/inference.py:335),
     # 1 for SUN RGB-D (reference sunrgbd/inference.py:281)
     scale_multiplier: float = 2.0
@@ -141,7 +143,12 @@ def _vote_axis(
     cands = rot_vote(pc, angles[sub], sub_idxs, n_rots=pcfg.num_rots)
 
     cos_tol = jnp.cos(jnp.deg2rad(pcfg.angle_prec))
-    counts = sphere_bin_count(cands.reshape(-1, 3), sphere_pts, cos_tol)
+    if pcfg.pallas_sphere:
+        from cppf_tpu.ops.pallas.sphere_count import sphere_bin_count_pallas
+
+        counts = sphere_bin_count_pallas(cands.reshape(-1, 3), sphere_pts, cos_tol)
+    else:
+        counts = sphere_bin_count(cands.reshape(-1, 3), sphere_pts, cos_tol)
     best_dir = sphere_pts[jnp.argmax(counts)]
 
     # aux disambiguation over *all* surviving pairs (reference :286-302)
