@@ -80,8 +80,6 @@ def main(argv=None):
 
         poses_pred = {}
         for scan_name in scan_names:
-            import cv2
-
             meta = meta_data[int(scan_name) - 1]
             rot = np.load(os.path.join(root_path, scan_name) + "_rot.npy")
 

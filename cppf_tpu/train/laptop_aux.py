@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from cppf_tpu.config import load_config, parse_cli_overrides
+from cppf_tpu.config import parse_cli_overrides
 from cppf_tpu.data.laptop_aux import LaptopAuxDataset
 from cppf_tpu.models.segmenter import FCNResNet50
 from cppf_tpu.train import checkpoints

@@ -21,7 +21,6 @@ import logging
 import os
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
