@@ -176,3 +176,30 @@ def test_map_protocol_matches_reference(rng, tmp_path, use_matches, capsys):
     np.testing.assert_allclose(ours_pose, ref_pose_aps, atol=1e-12)
     np.testing.assert_array_equal(ours_pm, ref_pm)
     np.testing.assert_array_equal(ours_gm, ref_gm)
+
+
+def test_map_protocol_empty_frames(rng, tmp_path, capsys):
+    """Frames with no predictions / no GT of a class exercise the empty-path
+    bookkeeping; must still match the reference exactly."""
+    names, results = _synthetic_results(rng, n_frames=4)
+    # frame with GT but zero predictions
+    results[1]["pred_class_ids"] = np.zeros(0, int)
+    results[1]["pred_RTs"] = np.zeros((0, 4, 4))
+    results[1]["pred_scales"] = np.zeros((0, 3))
+    results[1]["pred_scores"] = np.zeros(0)
+    results[1]["pred_bboxes"] = np.zeros((0, 4))
+    ours = compute_degree_cm_mAP(
+        _deepcopy_results(results), names, str(tmp_path / "o"),
+        degree_thresholds=[5, 15], shift_thresholds=[5, 15],
+        iou_3d_thresholds=np.linspace(0, 1, 21), iou_pose_thres=0.1,
+        use_matches_for_pose=True, plot=False, verbose=False,
+    )
+    ref = ref_util.compute_degree_cm_mAP(
+        _deepcopy_results(results), names, str(tmp_path / "r"),
+        degree_thresholds=[5, 15], shift_thresholds=[5, 15],
+        iou_3d_thresholds=np.linspace(0, 1, 21), iou_pose_thres=0.1,
+        use_matches_for_pose=True,
+    )
+    capsys.readouterr()
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-12)
+    np.testing.assert_allclose(ours[1], ref[1], atol=1e-12)
