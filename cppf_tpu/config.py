@@ -169,6 +169,15 @@ def parse_cli_overrides(args: List[str]) -> dict:
             v = yaml.safe_load(v)
         except yaml.YAMLError:
             pass
+        if isinstance(v, str):
+            # YAML 1.1 leaves "5e-4" (no dot) as a string; coerce numerics
+            try:
+                v = int(v)
+            except ValueError:
+                try:
+                    v = float(v)
+                except ValueError:
+                    pass
         cur = out
         parts = k.split(".")
         for p in parts[:-1]:
