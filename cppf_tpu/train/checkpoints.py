@@ -29,16 +29,28 @@ def save_train_state(ckpt_dir: str, state, name: str = "best") -> None:
 
 
 def load_train_state(ckpt_dir: str, abstract_state, name: str = "best"):
+    """Restore a full train state.
+
+    Restores to host numpy first (restoring straight onto a remote TPU
+    device can wedge), then rebuilds the typed pytree (NamedTuples /
+    optax states) from the template's structure.
+    """
     path = os.path.join(_path(ckpt_dir), name)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        path,
-        {
-            "params": abstract_state.params,
-            "opt_state": abstract_state.opt_state,
-            "step": abstract_state.step,
-        },
+    raw = ckptr.restore(path)  # nested dicts/lists of numpy arrays
+    template = {
+        "params": abstract_state.params,
+        "opt_state": abstract_state.opt_state,
+        "step": abstract_state.step,
+    }
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    r_leaves = jax.tree_util.tree_leaves(raw)
+    assert len(t_leaves) == len(r_leaves), (
+        f"checkpoint structure mismatch: {len(r_leaves)} leaves vs template {len(t_leaves)}"
     )
+    for a, b in zip(t_leaves, r_leaves):
+        assert tuple(a.shape) == tuple(np.shape(b)), (a.shape, np.shape(b))
+    restored = jax.tree_util.tree_unflatten(treedef, r_leaves)
     return type(abstract_state)(restored["params"], restored["opt_state"], restored["step"])
 
 

@@ -95,3 +95,20 @@ def test_regression_variant_training():
         state, comps = train_step(state, batch, statics, tx)
         losses.append(float(comps["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_full_train_state_roundtrip(tmp_path):
+    """save_train_state/load_train_state preserves params, optimizer state
+    and step (host-numpy restore path)."""
+    from cppf_tpu.train.checkpoints import load_train_state, save_train_state
+
+    cfg = _small_cfg()
+    state = init_train_state(jax.random.PRNGKey(3), cfg, cfg.npoint_pad)
+    state = state._replace(step=state.step + 7)
+    save_train_state(str(tmp_path / "ck"), state, name="best")
+    fresh = init_train_state(jax.random.PRNGKey(9), cfg, cfg.npoint_pad)
+    restored = load_train_state(str(tmp_path / "ck"), fresh, name="best")
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
