@@ -164,6 +164,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cppf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from cppf_tpu.config import load_config
     from cppf_tpu.data.synthetic import PRIMITIVES, sample_surface
     from cppf_tpu.ops.knn import knn_indices

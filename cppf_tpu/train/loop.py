@@ -148,6 +148,9 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
 
 
 def main(argv=None):
+    from cppf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
     argv = argv if argv is not None else sys.argv[1:]
     overrides = parse_cli_overrides([a for a in argv if "=" in a])

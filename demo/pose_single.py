@@ -28,6 +28,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cppf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from cppf_tpu.config import load_config
     from cppf_tpu.data.synthetic import (
         PRIMITIVES, mesh_bounds, oracle_pair_predictions, sample_surface,
