@@ -84,3 +84,74 @@ def estimate_similarity_transform(source: np.ndarray, target: np.ndarray,
             print(f"[ WARN ] low inlier ratio: {best_ratio}")
         return None, None, None, None
     return umeyama(source[best_inliers], target[best_inliers])
+
+
+def estimate_restricted_affine_transform(source: np.ndarray, target: np.ndarray,
+                                         verbose: bool = False):
+    """Affine fit decomposed into rotation + per-axis scales
+    (reference utils/aligning.py:46-95): least-squares affine, SVD split,
+    then the scale permutation with the lowest residual."""
+    import itertools
+
+    src_h = np.hstack([source, np.ones((source.shape[0], 1))])
+    affine, *_ = np.linalg.lstsq(src_h, target, rcond=None)
+    affine = affine.T  # [3,4] acting on column vectors
+    translation = affine[:3, 3]
+    nu_scale_rot = affine[:3, :3]
+    _, scales_sorted, _ = np.linalg.svd(nu_scale_rot, full_matrices=True)
+
+    best = (np.inf, None, None, np.identity(4))
+    for cand in itertools.permutations(scales_sorted):
+        cand = np.asarray(cand)
+        rotation = (np.diag(1.0 / cand) @ nu_scale_rot).T
+        transform = np.identity(4)
+        transform[:3, :3] = np.diag(cand) @ rotation
+        transform[:3, 3] = translation
+        fitted = source @ (np.diag(cand) @ rotation).T + translation
+        residual = np.linalg.norm(np.linalg.norm(target - fitted, axis=0))
+        if residual < best[0]:
+            best = (residual, cand, rotation, transform)
+    _, scales, rotation, transform = best
+    if verbose:
+        print("scales:", scales)
+    return scales, rotation, translation, transform
+
+
+def align_nocs(class_ids, masks, coords, depth, intrinsics, synset_names,
+               image_path="", if_norm=False, with_scale=True, verbose=False):
+    """Legacy NOCS alignment (reference utils/util.py:634-705): per instance,
+    RANSAC-Umeyama fit NOCS-map coordinates to backprojected depth points.
+    Retained for capability parity; CPPF's own voting inference never calls it.
+    """
+    from cppf_tpu.core.geometry import backproject
+
+    num = len(class_ids)
+    RTs = np.zeros((num, 4, 4))
+    bbox_scales = np.ones((num, 3))
+    errors = ""
+    for i in range(num):
+        mask = masks[:, :, i]
+        coord = coords[:, :, i, :]
+        abs_coord = np.abs(coord[mask == 1] - 0.5)
+        bbox_scales[i] = 2 * np.amax(abs_coord, axis=0)
+        pts, idxs = backproject(depth, intrinsics, mask)
+        coord_pts = coord[idxs[0], idxs[1], :] - 0.5
+        if if_norm:
+            s = np.linalg.norm(bbox_scales[i])
+            bbox_scales[i] /= s
+            coord_pts /= s
+        try:
+            scales, rotation, translation, _ = estimate_similarity_transform(coord_pts, pts)
+            aligned = np.zeros((4, 4), np.float32)
+            if with_scale:
+                aligned[:3, :3] = np.diag(scales) / 1000 @ rotation.T
+            else:
+                aligned[:3, :3] = rotation.T
+            aligned[:3, 3] = translation / 1000
+            aligned[3, 3] = 1
+        except Exception as e:  # degenerate fit → identity (reference behaviour)
+            errors += f"[ Error ] aligning instance {synset_names[class_ids[i]]} in {image_path}: {e}\n"
+            aligned = np.identity(4, np.float32)
+        z180 = np.diag([-1.0, -1.0, 1.0, 1.0])
+        RTs[i] = z180 @ aligned
+    return RTs, bbox_scales, errors
