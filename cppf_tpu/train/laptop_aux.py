@@ -78,7 +78,7 @@ def train(max_epoch: int = 20, batch_size: int = 16, out_dir: str = "checkpoints
 
 
 def main(argv=None):
-    logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s", force=True)
     overrides = parse_cli_overrides([a for a in (argv or sys.argv[1:]) if "=" in a])
     train(
         max_epoch=int(overrides.get("max_epoch", 20)),

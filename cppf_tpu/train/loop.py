@@ -151,7 +151,7 @@ def main(argv=None):
     from cppf_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s", force=True)
     argv = argv if argv is not None else sys.argv[1:]
     overrides = parse_cli_overrides([a for a in argv if "=" in a])
     category = overrides.pop("category", "bowl")

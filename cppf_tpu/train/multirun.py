@@ -25,7 +25,7 @@ NOCS_DEFAULT = ["bottle", "bowl", "camera", "can", "laptop", "mug"]
 
 
 def main(argv=None):
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)
     overrides = parse_cli_overrides([a for a in (argv or sys.argv[1:]) if "=" in a])
     cats = overrides.pop("categories", None)
     if isinstance(cats, str):
