@@ -52,11 +52,20 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
     @jax.jit
     def _prep(rngs, pcs, n_raws, bounds, scales):
         def one(rng_i, pc_raw, n_raw, bound, scale):
-            rng_pre, rng_pairs = jax.random.split(rng_i)
+            rng_pre, rng_pairs, rng_sign = jax.random.split(rng_i, 3)
             pre = preprocess_cloud(rng_pre, pc_raw, n_raw, cfg.res,
                                    npoint_pad=npoint_pad, knn=cfg.knn)
+            # Randomise per-point normal signs: the reference's Open3D PCA
+            # normals carry solver-arbitrary signs in BOTH train and test
+            # frames, so its network is sign-invariant.  Our deterministic
+            # sign rule is frame-dependent (canonical at train, camera at
+            # inference) — without this the PPF features distribution-shift.
+            sign = jnp.where(
+                jax.random.bernoulli(rng_sign, 0.5, (pre.pc.shape[0], 1)), 1.0, -1.0
+            )
+            normals = pre.normals * sign
             idxs = sample_pair_idxs(rng_pairs, pre.n_valid, cfg.train_pairs)
-            tgt = generate_targets(pre.pc, pre.normals, idxs,
+            tgt = generate_targets(pre.pc, normals, idxs,
                                    cfg.up_sym, cfg.right_sym, cfg.z_right)
             st = scale_target(bound, scale, cfg.scale_mean)
             if cfg.cls_bins:
@@ -64,7 +73,7 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
                                                cfg.tr_num_bins, cfg.rot_num_bins)
             else:
                 tr_t, rot_t = tgt.tr, tgt.rot
-            return pre.pc, pre.normals, pre.n_valid, idxs, tr_t, rot_t, tgt.rot_aux, st
+            return pre.pc, normals, pre.n_valid, idxs, tr_t, rot_t, tgt.rot_aux, st
 
         return Batch(*jax.vmap(one)(rngs, pcs, n_raws, bounds, scales))
 

@@ -44,9 +44,9 @@ def main():
 
     mesh = PRIMITIVES.get(args.category, PRIMITIVES["bottle"])()
     R_true, T_true = random_pose(rng)
-    pc_canon = sample_surface(mesh, 6000, rng)
-    pc_cam = (pc_canon @ R_true.T + T_true).astype(np.float32)
     lo, hi = mesh_bounds(mesh)
+    pc_canon = sample_surface(mesh, 6000, rng) - (lo + hi) / 2  # canonical = bbox-centred
+    pc_cam = (pc_canon @ R_true.T + T_true).astype(np.float32)
     bound = (hi - lo).copy()
     bound[[0, 2]] = bound[[2, 0]]
 
