@@ -45,9 +45,13 @@ def main():
     mesh = PRIMITIVES.get(args.category, PRIMITIVES["bottle"])()
     R_true, T_true = random_pose(rng)
     lo, hi = mesh_bounds(mesh)
-    pc_canon = sample_surface(mesh, 6000, rng) - (lo + hi) / 2  # canonical = bbox-centred
+    # canonical object like the training data: bbox-centred, unit-diagonal,
+    # scaled into the category scale range
+    diag = float(np.linalg.norm(hi - lo))
+    scale = float(np.mean(cfg.scale_range))
+    pc_canon = (sample_surface(mesh, 6000, rng) - (lo + hi) / 2) / diag * scale
     pc_cam = (pc_canon @ R_true.T + T_true).astype(np.float32)
-    bound = (hi - lo).copy()
+    bound = (hi - lo) / diag * scale
     bound[[0, 2]] = bound[[2, 0]]
 
     pad = np.zeros((8192, 3), np.float32)
