@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""CLI wrapper (reference-style entry point) for cppf_tpu.train.loop."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cppf_tpu.train.loop import main
+
+if __name__ == "__main__":
+    main()
