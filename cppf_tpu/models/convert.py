@@ -99,3 +99,31 @@ def point_encoder_to_torch(params: dict, num_layers: int = 1, n_spfcs: int = 4) 
         sd[f"aggrs.{i}.linear.weight"] = np.asarray(p[f"aggr{i}"]["linear"]["kernel"]).T
         sd[f"aggrs.{i}.linear.bias"] = np.asarray(p[f"aggr{i}"]["linear"]["bias"])
     return sd
+
+
+def ppf_encoder_to_torch(params: dict, n_res: int = 3) -> dict:
+    """Inverse mapping for the PPF head (flax → torch state_dict)."""
+    p = params["params"]
+    sd = {}
+    for i in range(n_res):
+        layer = p[f"res{i}"]
+        sd[f"res_layers.{i}.fc1.weight"] = np.asarray(layer["fc1"]["kernel"]).T
+        sd[f"res_layers.{i}.fc1.bias"] = np.asarray(layer["fc1"]["bias"])
+        sd[f"res_layers.{i}.fc2.weight"] = np.asarray(layer["fc2"]["kernel"]).T
+        sd[f"res_layers.{i}.fc2.bias"] = np.asarray(layer["fc2"]["bias"])
+        if "fc0" in layer:
+            sd[f"res_layers.{i}.fc0.weight"] = np.asarray(layer["fc0"]["kernel"]).T
+            sd[f"res_layers.{i}.fc0.bias"] = np.asarray(layer["fc0"]["bias"])
+    sd["final.weight"] = np.asarray(p["final"]["kernel"]).T
+    sd["final.bias"] = np.asarray(p["final"]["bias"])
+    return sd
+
+
+def export_reference_pth(params: dict, point_path: str, ppf_path: str) -> None:
+    """Save our params as reference-format .pth files (torch required)."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in point_encoder_to_torch(params["point"]).items()}, point_path)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in ppf_encoder_to_torch(params["ppf"]).items()}, ppf_path)

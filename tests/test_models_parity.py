@@ -125,3 +125,16 @@ def test_roundtrip_conversion(rng):
     flat1 = jax.tree_util.tree_leaves(back)
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_ppf_roundtrip_conversion(rng):
+    from cppf_tpu.models.convert import ppf_encoder_from_torch, ppf_encoder_to_torch
+
+    enc = PPFEncoder(out_dim=141)
+    pc, normals = _make_inputs(rng, n=32)
+    feat = rng.normal(size=(32, 40)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.array(pc), jnp.array(normals),
+                      jnp.array(feat), jnp.zeros((4, 2), jnp.int32))
+    back = ppf_encoder_from_torch(ppf_encoder_to_torch(params))
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
