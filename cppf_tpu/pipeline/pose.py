@@ -135,9 +135,11 @@ def _vote_axis(
     bin_idx = jax.random.categorical(rng_bin, angle_logits, axis=-1)
     angles = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
 
-    # subsample `rot_subsample` surviving pairs (reference nocs/inference.py:277-279)
+    # subsample `rot_subsample` surviving pairs (reference nocs/inference.py:277-279);
+    # if the back-vote filter killed everything, fall back to all pairs
     p = point_idxs.shape[0]
-    logp = jnp.where(pair_mask, 0.0, -jnp.inf)
+    any_alive = jnp.any(pair_mask)
+    logp = jnp.where(pair_mask | ~any_alive, 0.0, -jnp.inf)
     sub = jax.random.categorical(rng_sub, logp, shape=(pcfg.rot_subsample,))
     sub_idxs = point_idxs[sub]
     cands = rot_vote(pc, angles[sub], sub_idxs, n_rots=pcfg.num_rots)
