@@ -155,3 +155,43 @@ def test_estimate_pose_batch(rng):
                                pres[i].n_valid, sphere, pcfg, nbr_idx=pres[i].nbr_idx)
         np.testing.assert_allclose(np.asarray(batched.T)[i], np.asarray(single.T), atol=1e-5)
         np.testing.assert_allclose(np.asarray(batched.R)[i], np.asarray(single.R), atol=1e-4)
+
+
+def test_laptop_up_override(rng):
+    """The laptop plane override replaces a wrong up axis
+    (reference nocs/inference.py:314-323 semantics)."""
+    cfg = load_config("laptop")
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, "laptop", n=3000)
+    lo, hi = mesh_bounds(mesh)
+    bound = (hi - lo).copy()
+    bound[[0, 2]] = bound[[2, 0]]
+    pad = np.zeros((3072, 3), np.float32)
+    pad[:3000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 3000, cfg.res,
+                           npoint_pad=2048, knn=cfg.knn, jitter=False)
+    n = int(pre.n_valid)
+    pcfg = PoseConfig.from_config(cfg, n_pairs=8192)
+    idxs = rng.integers(0, n, size=(8192, 2)).astype(np.int32)
+    preds = oracle_pair_predictions(np.asarray(pre.pc), np.asarray(pre.normals),
+                                    idxs, T_true, R_true, bound, 1.0, cfg)
+    sphere = jnp.array(pcfg.sphere_points())
+    # without override
+    res0 = vote_pose(jax.random.PRNGKey(2), pre.pc, pre.normals, jnp.array(idxs),
+                     jnp.array(preds), pre.n_valid, sphere, pcfg)
+    # with a GT laptop_up: result should stay close to GT up (dot(up, lup) >
+    # dot(right, lup) for a correct estimate, so no swap happens)
+    lup = (R_true @ np.array([0, 1.0, 0])).astype(np.float32)
+    res1 = vote_pose(jax.random.PRNGKey(2), pre.pc, pre.normals, jnp.array(idxs),
+                     jnp.array(preds), pre.n_valid, sphere, pcfg,
+                     laptop_up=jnp.asarray(lup), laptop_up_valid=jnp.asarray(True))
+    up_true = R_true @ np.array([0, 1.0, 0])
+    assert float(np.asarray(res1.up) @ up_true) > 0.95
+    # with a deliberately swapped axis claim: override kicks in and up follows
+    # the plane normal direction (the right axis of the GT pose)
+    wrong_lup = (R_true @ np.array([0, 0, 1.0])).astype(np.float32)
+    res2 = vote_pose(jax.random.PRNGKey(2), pre.pc, pre.normals, jnp.array(idxs),
+                     jnp.array(preds), pre.n_valid, sphere, pcfg,
+                     laptop_up=jnp.asarray(wrong_lup), laptop_up_valid=jnp.asarray(True))
+    assert np.isfinite(np.asarray(res2.R)).all()
+    RtR = np.asarray(res2.R).T @ np.asarray(res2.R)
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
