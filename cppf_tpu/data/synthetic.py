@@ -83,11 +83,44 @@ def make_bowl(radius=0.09, height=0.045, segments=48, rings=12) -> Mesh:
     return Mesh(verts, np.array(faces, np.int32))
 
 
+def _merge(*meshes: Mesh) -> Mesh:
+    verts, faces, off = [], [], 0
+    for m in meshes:
+        verts.append(m.vertices)
+        faces.append(m.faces + off)
+        off += len(m.vertices)
+    return Mesh(np.concatenate(verts), np.concatenate(faces))
+
+
+def _translate(mesh: Mesh, t) -> Mesh:
+    return Mesh(mesh.vertices + np.asarray(t, np.float32), mesh.faces)
+
+
+def make_bottle() -> Mesh:
+    """Body + narrower neck: breaks the top/bottom symmetry a bare cylinder
+    has (otherwise the up-aux orientation bit is unlearnable)."""
+    body = make_cylinder(0.035, 0.13)
+    neck = _translate(make_cylinder(0.015, 0.05), (0, 0.09, 0))
+    return _merge(body, neck)
+
+
+def make_mug() -> Mesh:
+    """Cylinder + a simple 3-segment handle on +x."""
+    body = make_cylinder(0.04, 0.09)
+    h1 = _translate(make_box((0.03, 0.012, 0.012)), (0.055, 0.03, 0))
+    h2 = _translate(make_box((0.03, 0.012, 0.012)), (0.055, -0.03, 0))
+    h3 = _translate(make_box((0.012, 0.072, 0.012)), (0.065, 0.0, 0))
+    return _merge(body, h1, h2, h3)
+
+
 PRIMITIVES = {
-    "bottle": lambda: make_cylinder(0.035, 0.16),
+    "bottle": make_bottle,
     "can": lambda: make_cylinder(0.035, 0.1),
     "bowl": make_bowl,
+    "mug": make_mug,
     "box": make_box,
+    "camera": lambda: _merge(make_box((0.11, 0.07, 0.05)),
+                             _translate(make_cylinder(0.022, 0.04), (0.02, 0, 0.04))),
     "laptop": lambda: make_box((0.3, 0.02, 0.25)),
 }
 
