@@ -47,9 +47,10 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0):
         scale = float(rng.uniform(0.9, 1.3))
         v_canon = (mesh.vertices - (lo + hi) / 2) * scale
         v_cam_nocs = v_canon @ R.T + T
-        # our rasterizer looks down -z; NOCS backproject negates x,y and the
-        # driver re-negates them, so render at (x, y, -z)
-        v_render = v_cam_nocs * np.float32([1, 1, -1])
+        # our rasterizer looks down -z with +y up and projects v = cy - fy*y/d;
+        # the NOCS backprojection + the driver's x/y re-negation recover
+        # (x, -y_render, depth), so render the y-mirrored scene at -z
+        v_render = v_cam_nocs * np.float32([1, -1, -1])
         depth = native.rasterize_depth(v_render, mesh.faces, K[0, 0], K[1, 1],
                                        K[0, 2], K[1, 2], 640, 480)
         mask = depth > 0

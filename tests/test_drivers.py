@@ -50,9 +50,10 @@ def _make_nocs_frame(tmp_path, rng):
 
     mesh = PRIMITIVES["bowl"]()
     T = np.float32([0.05, -0.05, 0.8])
-    # NOCS camera: our renderer convention has -z forward; the NOCS frame
-    # used at inference re-negates x/y after backprojection
-    v_cam = mesh.vertices * 1.2 + np.float32([T[0], T[1], -T[2]])
+    # NOCS driver frame: render the y-mirrored scene at -z (see
+    # scripts/synthetic_benchmark.py for the derivation)
+    v_cam = mesh.vertices * 1.2
+    v_cam = v_cam * np.float32([1, -1, -1]) + np.float32([T[0], -T[1], -T[2]])
     K = REAL275_INTRINSICS
     depth = native.rasterize_depth(v_cam, mesh.faces, K[0, 0], K[1, 1], K[0, 2], K[1, 2], 640, 480)
     depth_mm = (depth * 1000).astype(np.uint16)
