@@ -81,16 +81,20 @@ def _adaptive_rots(odist, res, n_rots: int, adaptive: bool):
     return jnp.full(odist.shape, n_rots, jnp.int32)
 
 
-def _vote_ids_vals(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
-                   n_rots, adaptive, pair_mask, splat: str = "trilinear"):
-    """Shared candidate math: flat voxel ids + trilinear weights per vote.
+def _vote_coords(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
+                 n_rots, adaptive, pair_mask):
+    """Shared candidate math: componentwise voxel coordinates per vote.
 
     Everything is computed **componentwise** as [P, R] arrays — never
     [P, R, 3] or [P, R, 2, 2, 2] — because tiny trailing dimensions get
     padded to the 128-lane TPU tile (a 40-60x memory blowup that dominated
-    the original formulation).  Returns (ids [8·P·R], vals [8·P·R]).
+    the original formulation).
+
+    Returns (f, r, w): ``f`` three int32 [P, R] floor coordinates clipped to
+    ``[0, cap-2]``; ``r`` three f32 [P, R] fractional parts; ``w`` [P, R]
+    vote weights with all validity masking (degenerate pair, adaptive rot
+    count, runtime grid extent) folded in as zeros.
     """
-    gx, gy, gz = grid_shape
     a, ab_unit, degenerate, co_unit = pair_frames(pc, point_idxs)
     proj_len, odist = preds_tr[:, 0], preds_tr[:, 1]
     m = _adaptive_rots(odist, res, n_rots, adaptive)
@@ -106,22 +110,33 @@ def _vote_ids_vals(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_sh
     w = jnp.maximum(probs[point_idxs[:, 0]], probs[point_idxs[:, 1]])
     valid = rot_valid & (~degenerate)[:, None] & pair_mask[:, None]
 
-    gcomp = []
     fcomp = []
     rcomp = []
-    caps = (gx, gy, gz)
     for k in range(3):
         gk = (c[:, k, None] + cos_a * x[:, k, None] + sin_a * y[:, k, None]
               - corner[k]) / res                                  # [P, R]
         valid = valid & (gk >= 0.01) & (gk < dims_f[k] - 1.01)
-        fk = jnp.clip(jnp.floor(gk).astype(jnp.int32), 0, caps[k] - 2)
-        gcomp.append(gk)
+        fk = jnp.clip(jnp.floor(gk).astype(jnp.int32), 0, grid_shape[k] - 2)
         fcomp.append(fk)
         rcomp.append(gk - fk)
+    wv = jnp.where(valid, w[:, None], 0.0)
+    return fcomp, rcomp, wv
+
+
+def _vote_ids_vals(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
+                   n_rots, adaptive, pair_mask, splat: str = "trilinear"):
+    """Flat voxel ids + splat weights per vote (see :func:`_vote_coords`).
+
+    Returns (ids, vals) of length 8·P·R (trilinear) or P·R (nearest).
+    """
+    gx, gy, gz = grid_shape
+    fcomp, rcomp, wv = _vote_coords(
+        pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
+        n_rots, adaptive, pair_mask,
+    )
     fx, fy, fz = fcomp
     rx, ry, rz = rcomp
     base = (fx * gy + fy) * gz + fz
-    wv = jnp.where(valid, w[:, None], 0.0)
 
     if splat == "nearest":
         # single-corner splat: 8x fewer scatter-adds; peak location is
@@ -193,6 +208,213 @@ def ppf_vote(
     grid_flat = jnp.zeros((gx * gy * gz,), jnp.float32)
     grid_flat = lax.fori_loop(0, n_chunks, body, grid_flat)
     return grid_flat.reshape(gx, gy, gz)
+
+
+def _axis_weights(f, r, col, lo, splat: str):
+    """Per-vote splat weight onto fine-grid column ``col`` (broadcasted).
+
+    The trilinear splat is *separable*: the 8-corner weight of reference
+    models/voting.py:48-63 factorises as hat_x ⊗ hat_y ⊗ hat_z, each hat a
+    2-nonzero row ((1-r) at f, r at f+1).  Nearest splat is the 1-nonzero
+    special case.  ``f``/``r`` broadcast against ``col`` (int32); ``lo`` is
+    the (traced) window origin subtracted from f.
+    """
+    d = f - lo
+    if splat == "nearest":
+        n = jnp.where(r > 0.5, d + 1, d)
+        return jnp.where(n == col, 1.0, 0.0)
+    return jnp.where(d == col, 1.0 - r, 0.0) + jnp.where(d + 1 == col, r, 0.0)
+
+
+def _coarse_axis_weights(f, r, col, factor: int, splat: str):
+    """Summed splat mass per *coarse* cell along one axis (col = cell idx).
+
+    Since the splat is separable, the total mass a vote deposits in coarse
+    cell (cx,cy,cz) is (Σ_{x∈cx} hat_x)·(Σ_{y∈cy} hat_y)·(Σ_{z∈cz} hat_z);
+    along one axis the two hat nonzeros land in cells f//factor and
+    (f+1)//factor.
+    """
+    if splat == "nearest":
+        n = jnp.where(r > 0.5, f + 1, f)
+        return jnp.where(n // factor == col, 1.0, 0.0)
+    return (jnp.where(f // factor == col, 1.0 - r, 0.0)
+            + jnp.where((f + 1) // factor == col, r, 0.0))
+
+
+def _maxpool2d(m: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Max over non-overlapping f×f blocks, zero-padding ragged edges."""
+    a, b = m.shape
+    ca, cb = -(-a // f), -(-b // f)
+    m = jnp.pad(m, ((0, ca * f - a), (0, cb * f - b)))
+    return m.reshape(ca, f, cb, f).max((1, 3))
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "n_rots", "adaptive", "vchunk",
+                                   "splat", "window", "coarse_factor"))
+def ppf_vote_peak(
+    pc: jnp.ndarray,
+    preds_tr: jnp.ndarray,
+    probs: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    corner: jnp.ndarray,
+    res,
+    grid_dims: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    n_rots: int = 72,
+    adaptive: bool = False,
+    pair_mask: jnp.ndarray | None = None,
+    vchunk: int = 65536,
+    splat: str = "trilinear",
+    window: int = 16,
+    coarse_factor: int = 8,
+):
+    """Argmax/max of the :func:`ppf_vote` grid WITHOUT building the grid.
+
+    TPU has no fast random scatter (XLA scatter-add serialises at ~100M
+    adds/s — 70-90% of reference-workload pose latency), so instead of
+    accumulating the 64³ histogram we find its peak by branch-and-bound
+    with MXU-friendly one-hot matmuls, exploiting that the trilinear splat
+    is separable per axis (hat_x ⊗ hat_y ⊗ hat_z):
+
+    1. **Bound pass**: two matmuls accumulate the three 2D projections
+       Mxy/Mxz/Myz of the vote grid plus the total mass per
+       ``coarse_factor``³ cell.  Every fine voxel (x,y,z) is bounded by
+       min(Mxy[x,y], Mxz[x,z], Myz[y,z], cell mass) — the projection min
+       is far tighter than cell mass alone for ring-shaped vote sheets
+       (measured: 5 candidate cells vs 27 on the reference workload).
+    2. **Refine loop** (``lax.while_loop``): accumulate the exact fine
+       counts in the ``window``³ box (window-aligned, covering
+       (window/coarse_factor)³ whole cells) around the best uncovered
+       cell; repeat until no uncovered bound exceeds the best voxel
+       found.  Terminates because every round fully covers ≥1 new cell;
+       in practice one round suffices (votes concentrate at the center).
+
+    Replaces grid materialisation + argmax of reference
+    models/voting.py:4-67 + nocs/inference.py:208-211.  Exact up to f32
+    summation order (bounds and fine sums round differently at relative
+    ~1e-6; peaks tied at that scale may resolve to either voxel).
+
+    Returns (idx [3] int32 — voxel coords of the peak, peak value f32).
+    """
+    assert window % coarse_factor == 0 and window >= coarse_factor
+    gx, gy, gz = grid_shape
+    f8 = coarse_factor
+    cdims = tuple(-(-g // f8) for g in grid_shape)
+    cx_n, cy_n, cz_n = cdims
+    w8 = window
+
+    if pair_mask is None:
+        pair_mask = jnp.ones((point_idxs.shape[0],), dtype=bool)
+    res = jnp.asarray(res, pc.dtype)
+    dims_f = grid_dims.astype(pc.dtype)
+
+    fcomp, rcomp, wv = _vote_coords(
+        pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
+        n_rots, adaptive, pair_mask,
+    )
+    # flatten to votes and pad to the chunk size (padding votes carry w=0)
+    v = point_idxs.shape[0] * n_rots
+    nvc = (v + vchunk - 1) // vchunk
+    vpad = nvc * vchunk - v
+    flat = lambda a: jnp.pad(a.reshape(-1), (0, vpad))
+    fx, fy, fz = (flat(a) for a in fcomp)
+    rx, ry, rz = (flat(a) for a in rcomp)
+    wf = flat(wv)
+    axis_fn = partial(_axis_weights, splat=splat)
+    coarse_fn = partial(_coarse_axis_weights, factor=f8, splat=splat)
+
+    def chunked(body):
+        def step(k, acc):
+            sl = lambda a: lax.dynamic_slice_in_dim(a, k * vchunk, vchunk)
+            return body(acc, sl(fx), sl(fy), sl(fz), sl(rx), sl(ry), sl(rz), sl(wf))
+        return step
+
+    # ---- bound pass ---------------------------------------------------------
+    # one wide matmul: rows = w-weighted fine-x one-hot; cols = fine-y ⊕
+    # fine-z ⊕ coarse-(y,z) → Mxy, Mxz, and per-(fine-x, coarse-yz) mass;
+    # one narrow matmul: Myz.
+    row_x = jnp.arange(gx, dtype=jnp.int32)[:, None]
+    row_y = jnp.arange(gy, dtype=jnp.int32)[:, None]
+    col_y = jnp.arange(gy, dtype=jnp.int32)[None, :]
+    col_z = jnp.arange(gz, dtype=jnp.int32)[None, :]
+    jcyz = jnp.arange(cy_n * cz_n, dtype=jnp.int32)[None, :]
+    jcy, jcz = jcyz // cz_n, jcyz % cz_n
+
+    def bound_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
+        rxw = axis_fn(cfx[None, :], crx[None, :], row_x, 0) * cw[None, :]
+        ay = axis_fn(cfy[:, None], cry[:, None], col_y, 0)
+        az = axis_fn(cfz[:, None], crz[:, None], col_z, 0)
+        cyz = (coarse_fn(cfy[:, None], cry[:, None], jcy)
+               * coarse_fn(cfz[:, None], crz[:, None], jcz))
+        cols = jnp.concatenate([ay, az, cyz], axis=1)
+        ryw = axis_fn(cfy[None, :], cry[None, :], row_y, 0) * cw[None, :]
+        accx, accy = acc
+        accx = accx + jnp.dot(rxw, cols, preferred_element_type=jnp.float32)
+        accy = accy + jnp.dot(ryw, az, preferred_element_type=jnp.float32)
+        return accx, accy
+
+    acc0 = (jnp.zeros((gx, gy + gz + cy_n * cz_n), jnp.float32),
+            jnp.zeros((gy, gz), jnp.float32))
+    accx, myz = lax.fori_loop(0, nvc, chunked(bound_body), acc0)
+    mxy = accx[:, :gy]
+    mxz = accx[:, gy:gy + gz]
+    # cell mass: sum the per-fine-x coarse-yz masses over each x cell
+    xcyz = jnp.pad(accx[:, gy + gz:], ((0, cx_n * f8 - gx), (0, 0)))
+    cell_mass = xcyz.reshape(cx_n, f8, cy_n * cz_n).sum(1).reshape(cdims)
+    bound = jnp.minimum(
+        jnp.minimum(_maxpool2d(mxy, f8)[:, :, None], _maxpool2d(mxz, f8)[:, None, :]),
+        _maxpool2d(myz, f8)[None, :, :],
+    )
+    bound = jnp.minimum(bound, cell_mass)
+
+    # ---- refine loop --------------------------------------------------------
+    row_w = jnp.arange(w8, dtype=jnp.int32)[:, None]
+    jw = jnp.arange(w8 * w8, dtype=jnp.int32)[None, :]
+    jwy, jwz = jw // w8, jw % w8
+    max_rounds = cx_n * cy_n * cz_n
+    cells = (
+        jnp.arange(cx_n, dtype=jnp.int32) * f8,
+        jnp.arange(cy_n, dtype=jnp.int32) * f8,
+        jnp.arange(cz_n, dtype=jnp.int32) * f8,
+    )
+
+    def cond(state):
+        best, _, bnd, rounds = state
+        return (jnp.max(bnd) > best) & (rounds < max_rounds)
+
+    def body(state):
+        best, bidx, bnd, rounds = state
+        cflat = jnp.argmax(bnd)
+        cell = jnp.stack([cflat // (cy_n * cz_n),
+                          (cflat // cz_n) % cy_n,
+                          cflat % cz_n]).astype(jnp.int32)
+        o = (cell * f8) // w8 * w8  # window-aligned: covers whole cells
+
+        def refine_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
+            axw = axis_fn(cfx[None, :], crx[None, :], row_w, o[0]) * cw[None, :]
+            ayz = (axis_fn(cfy[:, None], cry[:, None], jwy, o[1])
+                   * axis_fn(cfz[:, None], crz[:, None], jwz, o[2]))
+            return acc + jnp.dot(axw, ayz, preferred_element_type=jnp.float32)
+
+        win = lax.fori_loop(0, nvc, chunked(refine_body),
+                            jnp.zeros((w8, w8 * w8), jnp.float32))
+        wmax = jnp.max(win)
+        wflat = jnp.argmax(win)
+        local = jnp.stack([wflat // (w8 * w8),
+                           (wflat // w8) % w8,
+                           wflat % w8]).astype(jnp.int32)
+        better = wmax > best
+        best = jnp.where(better, wmax, best)
+        bidx = jnp.where(better, o + local, bidx)
+        full = [(c >= o[k]) & (c + f8 <= o[k] + w8) for k, c in enumerate(cells)]
+        covered = (full[0][:, None, None] & full[1][None, :, None]
+                   & full[2][None, None, :])
+        bnd = jnp.where(covered, -jnp.inf, bnd)
+        return best, bidx, bnd, rounds + 1
+
+    init = (jnp.float32(-jnp.inf), jnp.zeros((3,), jnp.int32), bound, jnp.int32(0))
+    best, bidx, _, _ = lax.while_loop(cond, body, init)
+    return bidx, jnp.maximum(best, 0.0)
 
 
 def grid_argmax(grid: jnp.ndarray, corner: jnp.ndarray, res) -> jnp.ndarray:

@@ -25,7 +25,14 @@ from cppf_tpu.config import Config
 from cppf_tpu.core.geometry import assemble_rotation, fibonacci_sphere, orthonormal_right
 from cppf_tpu.models.encoders import PointEncoder, PPFEncoder
 from cppf_tpu.ops.knn import knn_indices
-from cppf_tpu.ops.voting import backvote, grid_argmax, ppf_vote, rot_vote, sphere_bin_count
+from cppf_tpu.ops.voting import (
+    backvote,
+    grid_argmax,
+    ppf_vote,
+    ppf_vote_peak,
+    rot_vote,
+    sphere_bin_count,
+)
 
 
 @dataclass(frozen=True)
@@ -50,6 +57,11 @@ class PoseConfig:
     grid_shape: Tuple[int, int, int] = (64, 64, 64)
     # "trilinear" = reference-exact 8-corner splat; "nearest" = fast mode
     splat: str = "trilinear"
+    # "hier" = hierarchical exact peak (coarse bound + refine window, no
+    # grid materialisation — the fast TPU path); "grid" = scatter-add the
+    # full histogram then argmax (reference-shaped; needed only when the
+    # heatmap itself is consumed, e.g. zero-shot proposals)
+    center_mode: str = "hier"
     # use the fused Pallas sphere-binning kernel instead of the chunked XLA one
     pallas_sphere: bool = False
     # scale assembly multiplier: 2 for NOCS (reference nocs/inference.py:335),
@@ -236,12 +248,21 @@ def vote_pose(
     grid_dims = jnp.minimum(grid_dims, jnp.array(pcfg.grid_shape, jnp.int32))
     if probs is None:
         probs = jnp.ones((n,), pc.dtype)
-    grid = ppf_vote(
-        pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
-        pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
-        splat=pcfg.splat,
-    )
-    T_est = grid_argmax(grid, corner, pcfg.res)
+    if pcfg.center_mode == "hier":
+        peak_idx, grid_max = ppf_vote_peak(
+            pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
+            pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
+            splat=pcfg.splat,
+        )
+        T_est = corner + peak_idx.astype(pc.dtype) * pcfg.res
+    else:
+        grid = ppf_vote(
+            pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
+            pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
+            splat=pcfg.splat,
+        )
+        T_est = grid_argmax(grid, corner, pcfg.res)
+        grid_max = jnp.max(grid)
 
     # --- back-vote filter (reference :216-231) ------------------------------
     _, pair_mask = backvote(
@@ -302,7 +323,7 @@ def vote_pose(
         up=up,
         right=right,
         n_filtered=jnp.sum(pair_mask),
-        grid_max=jnp.max(grid),
+        grid_max=grid_max,
     )
 
 

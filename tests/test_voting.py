@@ -6,6 +6,7 @@ from cppf_tpu.ops.voting import (
     backvote,
     grid_argmax,
     ppf_vote,
+    ppf_vote_peak,
     rot_vote,
     sphere_bin_count,
 )
@@ -78,6 +79,68 @@ def test_ppf_vote_finds_true_center(rng):
     )
     t_est = np.asarray(grid_argmax(grid, jnp.array(corner), res))
     assert np.linalg.norm(t_est - center) < 1.8 * res
+
+
+@pytest.mark.parametrize("splat", ["trilinear", "nearest"])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_ppf_vote_peak_matches_grid(rng, splat, adaptive):
+    """The hierarchical peak finder must return the same argmax/max as the
+    materialised grid, for both splats, on peaked (realistic) vote data."""
+    pc, idxs, corner, res, dims, preds_tr, _ = _instance(rng, n=120, p=2048)
+    probs = rng.uniform(0.5, 1.0, pc.shape[0]).astype(np.float32)
+    n_rots = 24
+    gshape = (int(dims[0]) + 3, int(dims[1]) + 2, int(dims[2]) + 5)
+    args = (jnp.array(pc), jnp.array(preds_tr), jnp.array(probs), jnp.array(idxs),
+            jnp.array(corner), res, jnp.array(dims))
+    grid = np.asarray(ppf_vote(*args, gshape, n_rots=n_rots, adaptive=adaptive,
+                               chunk=256, splat=splat))
+    idx, val = ppf_vote_peak(*args, gshape, n_rots=n_rots, adaptive=adaptive,
+                             vchunk=8192, splat=splat)
+    idx, val = np.asarray(idx), float(val)
+    np.testing.assert_allclose(val, grid.max(), rtol=2e-5)
+    # the returned voxel must carry (numerically) the max vote mass — the
+    # argmax itself may differ on fp-level ties
+    np.testing.assert_allclose(grid[tuple(idx)], grid.max(), rtol=2e-5)
+
+
+def test_ppf_vote_peak_empty_and_masked(rng):
+    """All-masked votes → peak value 0 at voxel (0,0,0), like an empty grid."""
+    pc, idxs, corner, res, dims, preds_tr, _ = _instance(rng)
+    gshape = (int(dims[0]) + 1, int(dims[1]) + 1, int(dims[2]) + 1)
+    idx, val = ppf_vote_peak(
+        jnp.array(pc), jnp.array(preds_tr), jnp.ones(pc.shape[0]), jnp.array(idxs),
+        jnp.array(corner), res, jnp.array(dims), gshape, n_rots=8, vchunk=4096,
+        pair_mask=jnp.zeros(idxs.shape[0], bool),
+    )
+    assert float(val) == 0.0
+    np.testing.assert_array_equal(np.asarray(idx), [0, 0, 0])
+
+
+def test_ppf_vote_peak_multi_round(rng):
+    """Two well-separated clusters force the refine loop to prove the bound:
+    peak must match the grid argmax even when votes concentrate in several
+    coarse cells."""
+    n = 64
+    pc = rng.uniform(size=(n, 3)).astype(np.float32) * 0.5
+    idxs = rng.integers(0, n, size=(1024, 2)).astype(np.int32)
+    corner = np.zeros(3, np.float32) - 0.05
+    res = 0.01
+    dims = np.array([64, 64, 64], np.int32)
+    # synthetic preds: half the pairs vote tightly at center A, half at B
+    a = pc[idxs[:, 0]]
+    b = pc[idxs[:, 1]]
+    u = (a - b) / (np.linalg.norm(a - b, axis=-1, keepdims=True) + 1e-7)
+    centers = np.where((np.arange(1024) % 2 == 0)[:, None],
+                       np.array([0.1, 0.1, 0.1]), np.array([0.45, 0.45, 0.45]))
+    proj = np.sum((a - centers) * u, -1)
+    odist = np.linalg.norm(a - centers - proj[:, None] * u, axis=-1)
+    preds_tr = np.stack([proj, odist], -1).astype(np.float32)
+    args = (jnp.array(pc), jnp.array(preds_tr), jnp.ones(n), jnp.array(idxs),
+            jnp.array(corner), res, jnp.array(dims), (64, 64, 64))
+    grid = np.asarray(ppf_vote(*args, n_rots=36, chunk=256))
+    idx, val = ppf_vote_peak(*args, n_rots=36, vchunk=8192)
+    np.testing.assert_allclose(float(val), grid.max(), rtol=2e-5)
+    np.testing.assert_allclose(grid[tuple(np.asarray(idx))], grid.max(), rtol=2e-5)
 
 
 def test_backvote_matches_oracle(rng):
