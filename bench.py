@@ -189,10 +189,21 @@ def main():
     pcfg = PoseConfig.from_config(cfg, n_pairs=N_PAIRS)
     point_enc, ppf_enc = make_models(cfg)
     nbr = pre.nbr_idx
-    p_pt = point_enc.init(jax.random.PRNGKey(1), pre.pc, pre.normals, nbr)
-    feat = point_enc.apply(p_pt, pre.pc, pre.normals, nbr)
-    p_pf = ppf_enc.init(jax.random.PRNGKey(2), pre.pc, pre.normals, feat,
-                        jnp.zeros((8, 2), jnp.int32))
+    # use the trained checkpoint when present: production inference runs
+    # trained networks whose votes concentrate at the center — the workload
+    # the pipeline (esp. branch-and-bound center voting) is designed for.
+    try:
+        from cppf_tpu.train.checkpoints import load_params
+
+        params = load_params("checkpoints/bottle", name="params_best")
+        p_pt, p_pf = params["point"], params["ppf"]
+        _log("using trained checkpoint: checkpoints/bottle")
+    except Exception as e:  # pragma: no cover - environment-dependent
+        _log(f"no trained checkpoint ({e}); falling back to random init")
+        p_pt = point_enc.init(jax.random.PRNGKey(1), pre.pc, pre.normals, nbr)
+        feat = point_enc.apply(p_pt, pre.pc, pre.normals, nbr)
+        p_pf = ppf_enc.init(jax.random.PRNGKey(2), pre.pc, pre.normals, feat,
+                            jnp.zeros((8, 2), jnp.int32))
     sphere = jnp.array(pcfg.sphere_points())
 
     # --- ours: full pipeline on the accelerator -----------------------------

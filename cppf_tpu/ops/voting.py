@@ -241,16 +241,17 @@ def _coarse_axis_weights(f, r, col, factor: int, splat: str):
             + jnp.where((f + 1) // factor == col, r, 0.0))
 
 
-def _maxpool2d(m: jnp.ndarray, f: int) -> jnp.ndarray:
-    """Max over non-overlapping f×f blocks, zero-padding ragged edges."""
+def _maxpool2d(m: jnp.ndarray, fa: int, fb: int | None = None) -> jnp.ndarray:
+    """Max over non-overlapping fa×fb blocks, zero-padding ragged edges."""
+    fb = fa if fb is None else fb
     a, b = m.shape
-    ca, cb = -(-a // f), -(-b // f)
-    m = jnp.pad(m, ((0, ca * f - a), (0, cb * f - b)))
-    return m.reshape(ca, f, cb, f).max((1, 3))
+    ca, cb = -(-a // fa), -(-b // fb)
+    m = jnp.pad(m, ((0, ca * fa - a), (0, cb * fb - b)))
+    return m.reshape(ca, fa, cb, fb).max((1, 3))
 
 
 @partial(jax.jit, static_argnames=("grid_shape", "n_rots", "adaptive", "vchunk",
-                                   "splat", "window", "coarse_factor"))
+                                   "splat", "window", "coarse_factor", "max_rounds"))
 def ppf_vote_peak(
     pc: jnp.ndarray,
     preds_tr: jnp.ndarray,
@@ -267,6 +268,7 @@ def ppf_vote_peak(
     splat: str = "trilinear",
     window: int = 16,
     coarse_factor: int = 8,
+    max_rounds: int = 0,
 ):
     """Argmax/max of the :func:`ppf_vote` grid WITHOUT building the grid.
 
@@ -277,11 +279,13 @@ def ppf_vote_peak(
     is separable per axis (hat_x ⊗ hat_y ⊗ hat_z):
 
     1. **Bound pass**: two matmuls accumulate the three 2D projections
-       Mxy/Mxz/Myz of the vote grid plus the total mass per
-       ``coarse_factor``³ cell.  Every fine voxel (x,y,z) is bounded by
-       min(Mxy[x,y], Mxz[x,z], Myz[y,z], cell mass) — the projection min
-       is far tighter than cell mass alone for ring-shaped vote sheets
-       (measured: 5 candidate cells vs 27 on the reference workload).
+       Mxy/Mxz/Myz of the vote grid.  Every fine voxel (x,y,z) is bounded
+       by min(Mxy[x,y], Mxz[x,z], Myz[y,z]) — far tighter than per-cell
+       total mass for ring-shaped vote sheets (measured: 5 candidate
+       cells vs 27 on the reference workload).  Projection columns are
+       pooled to ≤64 bins per axis (power-of-2 factor) so the pass costs
+       the same regardless of the static grid edge (categories with
+       large ``vote_range`` compile 120³+ grids).
     2. **Refine loop** (``lax.while_loop``): accumulate the exact fine
        counts in the ``window``³ box (window-aligned, covering
        (window/coarse_factor)³ whole cells) around the best uncovered
@@ -293,6 +297,14 @@ def ppf_vote_peak(
     models/voting.py:4-67 + nocs/inference.py:208-211.  Exact up to f32
     summation order (bounds and fine sums round differently at relative
     ~1e-6; peaks tied at that scale may resolve to either voxel).
+
+    ``max_rounds`` (0 = unlimited) caps the refine loop: with a trained
+    network votes concentrate and 1-2 rounds prove the bound, but fully
+    diffuse votes (e.g. an untrained network) have no dominant peak and
+    every cell's bound can exceed the best voxel; the cap bounds the tail
+    latency there at the cost of returning the best-of-K-windows voxel —
+    which for such vote distributions is as (un)informative as the true
+    argmax.
 
     Returns (idx [3] int32 — voxel coords of the peak, peak value f32).
     """
@@ -321,7 +333,6 @@ def ppf_vote_peak(
     rx, ry, rz = (flat(a) for a in rcomp)
     wf = flat(wv)
     axis_fn = partial(_axis_weights, splat=splat)
-    coarse_fn = partial(_coarse_axis_weights, factor=f8, splat=splat)
 
     def chunked(body):
         def step(k, acc):
@@ -330,48 +341,54 @@ def ppf_vote_peak(
         return step
 
     # ---- bound pass ---------------------------------------------------------
-    # one wide matmul: rows = w-weighted fine-x one-hot; cols = fine-y ⊕
-    # fine-z ⊕ coarse-(y,z) → Mxy, Mxz, and per-(fine-x, coarse-yz) mass;
-    # one narrow matmul: Myz.
+    # one wide matmul: rows = w-weighted fine-x one-hot; cols = pooled-y ⊕
+    # pooled-z → Mxy, Mxz; one narrow matmul: Myz.  Column resolution is
+    # capped at 64 bins per axis (pool factor = next power of two of g/64,
+    # which divides coarse_factor) so cost is static-grid-size-independent.
+    def poolf(g):
+        p = 1
+        while g > 64 * p:
+            p *= 2
+        return p
+    pfy, pfz = poolf(gy), poolf(gz)
+    assert f8 % pfy == 0 and f8 % pfz == 0
+    by_n, bz_n = -(-gy // pfy), -(-gz // pfz)
     row_x = jnp.arange(gx, dtype=jnp.int32)[:, None]
     row_y = jnp.arange(gy, dtype=jnp.int32)[:, None]
-    col_y = jnp.arange(gy, dtype=jnp.int32)[None, :]
-    col_z = jnp.arange(gz, dtype=jnp.int32)[None, :]
-    jcyz = jnp.arange(cy_n * cz_n, dtype=jnp.int32)[None, :]
-    jcy, jcz = jcyz // cz_n, jcyz % cz_n
+    col_y = jnp.arange(by_n, dtype=jnp.int32)[None, :]
+    col_z = jnp.arange(bz_n, dtype=jnp.int32)[None, :]
+    pool_y = partial(_coarse_axis_weights, factor=pfy, splat=splat) if pfy > 1 else \
+        partial(axis_fn, lo=0)
+    pool_z = partial(_coarse_axis_weights, factor=pfz, splat=splat) if pfz > 1 else \
+        partial(axis_fn, lo=0)
 
     def bound_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
         rxw = axis_fn(cfx[None, :], crx[None, :], row_x, 0) * cw[None, :]
-        ay = axis_fn(cfy[:, None], cry[:, None], col_y, 0)
-        az = axis_fn(cfz[:, None], crz[:, None], col_z, 0)
-        cyz = (coarse_fn(cfy[:, None], cry[:, None], jcy)
-               * coarse_fn(cfz[:, None], crz[:, None], jcz))
-        cols = jnp.concatenate([ay, az, cyz], axis=1)
+        ay = pool_y(cfy[:, None], cry[:, None], col_y)
+        az = pool_z(cfz[:, None], crz[:, None], col_z)
+        cols = jnp.concatenate([ay, az], axis=1)
         ryw = axis_fn(cfy[None, :], cry[None, :], row_y, 0) * cw[None, :]
         accx, accy = acc
         accx = accx + jnp.dot(rxw, cols, preferred_element_type=jnp.float32)
         accy = accy + jnp.dot(ryw, az, preferred_element_type=jnp.float32)
         return accx, accy
 
-    acc0 = (jnp.zeros((gx, gy + gz + cy_n * cz_n), jnp.float32),
-            jnp.zeros((gy, gz), jnp.float32))
+    acc0 = (jnp.zeros((gx, by_n + bz_n), jnp.float32),
+            jnp.zeros((gy, bz_n), jnp.float32))
     accx, myz = lax.fori_loop(0, nvc, chunked(bound_body), acc0)
-    mxy = accx[:, :gy]
-    mxz = accx[:, gy:gy + gz]
-    # cell mass: sum the per-fine-x coarse-yz masses over each x cell
-    xcyz = jnp.pad(accx[:, gy + gz:], ((0, cx_n * f8 - gx), (0, 0)))
-    cell_mass = xcyz.reshape(cx_n, f8, cy_n * cz_n).sum(1).reshape(cdims)
+    mxy = accx[:, :by_n]
+    mxz = accx[:, by_n:]
     bound = jnp.minimum(
-        jnp.minimum(_maxpool2d(mxy, f8)[:, :, None], _maxpool2d(mxz, f8)[:, None, :]),
-        _maxpool2d(myz, f8)[None, :, :],
+        jnp.minimum(_maxpool2d(mxy, f8, f8 // pfy)[:, :, None],
+                    _maxpool2d(mxz, f8, f8 // pfz)[:, None, :]),
+        _maxpool2d(myz, f8, f8 // pfz)[None, :, :],
     )
-    bound = jnp.minimum(bound, cell_mass)
 
     # ---- refine loop --------------------------------------------------------
     row_w = jnp.arange(w8, dtype=jnp.int32)[:, None]
     jw = jnp.arange(w8 * w8, dtype=jnp.int32)[None, :]
     jwy, jwz = jw // w8, jw % w8
-    max_rounds = cx_n * cy_n * cz_n
+    round_cap = max_rounds if max_rounds > 0 else cx_n * cy_n * cz_n
     cells = (
         jnp.arange(cx_n, dtype=jnp.int32) * f8,
         jnp.arange(cy_n, dtype=jnp.int32) * f8,
@@ -380,7 +397,7 @@ def ppf_vote_peak(
 
     def cond(state):
         best, _, bnd, rounds = state
-        return (jnp.max(bnd) > best) & (rounds < max_rounds)
+        return (jnp.max(bnd) > best) & (rounds < round_cap)
 
     def body(state):
         best, bidx, bnd, rounds = state

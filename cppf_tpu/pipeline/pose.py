@@ -62,6 +62,11 @@ class PoseConfig:
     # full histogram then argmax (reference-shaped; needed only when the
     # heatmap itself is consumed, e.g. zero-shot proposals)
     center_mode: str = "hier"
+    # refine-round cap for center_mode="hier" (0 = run to proven exactness);
+    # converged models prove the bound in 1-2 rounds, so 2 gives the exact
+    # argmax in production while bounding tail latency when votes are
+    # diffuse (undertrained network — where the argmax is noise anyway)
+    peak_rounds: int = 2
     # use the fused Pallas sphere-binning kernel instead of the chunked XLA one
     pallas_sphere: bool = False
     # scale assembly multiplier: 2 for NOCS (reference nocs/inference.py:335),
@@ -252,7 +257,7 @@ def vote_pose(
         peak_idx, grid_max = ppf_vote_peak(
             pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
             pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
-            splat=pcfg.splat,
+            splat=pcfg.splat, max_rounds=pcfg.peak_rounds,
         )
         T_est = corner + peak_idx.astype(pc.dtype) * pcfg.res
     else:
