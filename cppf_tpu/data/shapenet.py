@@ -29,7 +29,7 @@ from cppf_tpu.config import Config
 from cppf_tpu.core.geometry import backproject, rotx, roty
 from cppf_tpu.data import native
 from cppf_tpu.data.mesh import load_obj
-from cppf_tpu.data.synthetic import PRIMITIVES, Mesh
+from cppf_tpu.data.synthetic import Mesh, random_primitive
 
 # training-render intrinsics (reference utils/dataset.py:96)
 TRAIN_INTRINSICS = np.array([[591.0125, 0, 320], [0, 590.16775, 240], [0, 0, 1]])
@@ -91,7 +91,10 @@ class ShapeNetRenderDataset:
 
     def _load_mesh(self, name: Optional[str]) -> Mesh:
         if name is None:
-            prim = PRIMITIVES.get(self.cfg.category, PRIMITIVES["bottle"])()
+            # parameter-randomised primitive family: a fresh shape per sample
+            # stands in for ShapeNet's category-level variation
+            # (reference utils/dataset.py:84-257)
+            prim = random_primitive(self.cfg.category, self.rng)
             # primitives are metric; normalise to unit-diagonal like ShapeNet
             v = prim.vertices
             diag = np.linalg.norm(v.max(0) - v.min(0))

@@ -125,6 +125,239 @@ PRIMITIVES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Parameter-randomised primitive families
+#
+# ShapeNet's role in the reference (utils/dataset.py:84-257) is to supply
+# *category-level shape variation* — the network must generalise over radii,
+# aspect ratios, necks, handles.  Without ShapeNet in the environment, each
+# family below draws those parameters per sample, standing in for the 100+
+# CAD models per category.  Proportions only matter (the dataset normalises
+# to unit diagonal and rescales by cfg.scale_range).
+# ---------------------------------------------------------------------------
+
+def make_lathe(profile, segments: int = 48, close_bottom=True, close_top=True) -> Mesh:
+    """Surface of revolution around +y from an ordered (y, r) profile."""
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ca, sa = np.cos(ang), np.sin(ang)
+    verts, faces = [], []
+    rings = []
+    for y, r in profile:
+        rings.append(len(verts))
+        verts.extend(np.stack([r * ca, np.full_like(ca, y), r * sa], -1))
+    for r0, r1 in zip(rings[:-1], rings[1:]):
+        for s in range(segments):
+            a, b = r0 + s, r0 + (s + 1) % segments
+            c, d = r1 + s, r1 + (s + 1) % segments
+            faces += [[a, b, c], [b, d, c]]
+    if close_bottom:
+        pole = len(verts)
+        verts.append([0.0, profile[0][0], 0.0])
+        for s in range(segments):
+            faces.append([(s + 1) % segments, s, pole])
+    if close_top:
+        pole = len(verts)
+        verts.append([0.0, profile[-1][0], 0.0])
+        r0 = rings[-1]
+        for s in range(segments):
+            faces.append([r0 + s, r0 + (s + 1) % segments, pole])
+    return Mesh(np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+
+def _rot_x90(mesh: Mesh) -> Mesh:
+    """Rotate +y axis onto +z (lathe axis → camera-lens axis)."""
+    v = mesh.vertices[:, [0, 2, 1]].copy()
+    v[:, 1] = -v[:, 1]
+    return Mesh(v.astype(np.float32), mesh.faces)
+
+
+def random_bottle(rng) -> Mesh:
+    body_r = rng.uniform(0.18, 0.33)
+    taper = rng.uniform(0.92, 1.05)
+    shoulder = rng.uniform(0.55, 0.8)
+    neck_r = body_r * rng.uniform(0.25, 0.6)
+    neck_start = shoulder + rng.uniform(0.05, 0.15)
+    prof = [(0.0, body_r * rng.uniform(0.85, 1.0)), (0.03, body_r),
+            (shoulder, body_r * taper), (min(neck_start, 0.97), neck_r), (1.0, neck_r)]
+    if rng.uniform() < 0.5:  # lip
+        prof.insert(-1, (0.96, neck_r))
+        prof[-1] = (1.0, neck_r * rng.uniform(1.05, 1.25))
+    return make_lathe(prof)
+
+
+def random_can(rng) -> Mesh:
+    r = rng.uniform(0.25, 0.5)
+    rim = rng.uniform(0.82, 0.95)
+    return make_lathe([(0.0, r * rim), (0.03, r), (0.97, r), (1.0, r * rim)])
+
+
+def random_bowl(rng) -> Mesh:
+    height = rng.uniform(0.35, 0.7)
+    base_r = rng.uniform(0.2, 0.5)
+    p = rng.uniform(0.5, 1.3)  # wall curvature exponent
+    ts = np.linspace(0, 1, 10)
+    prof = [(0.0, base_r * 0.999)] + [
+        (height * t, base_r + (1.0 - base_r) * t ** p) for t in ts[1:]
+    ]
+    return make_lathe(prof, close_top=False)
+
+
+def random_mug(rng) -> Mesh:
+    r = rng.uniform(0.3, 0.45)
+    h = 1.0
+    taper = rng.uniform(0.85, 1.05)
+    body = make_lathe([(0.0, r * 0.98), (0.02, r), (h, r * taper)], close_top=False)
+    # handle: arc of thin boxes on +x
+    span = h * rng.uniform(0.4, 0.75)
+    stick = r * rng.uniform(0.6, 1.1)
+    th = rng.uniform(0.05, 0.09)
+    y0 = h / 2 + rng.uniform(-0.1, 0.1)
+    top = _translate(make_box((stick, th, th)), (r + stick / 2 - th, y0 + span / 2, 0))
+    bot = _translate(make_box((stick, th, th)), (r + stick / 2 - th, y0 - span / 2, 0))
+    out = _translate(make_box((th, span + th, th)), (r + stick - th, y0, 0))
+    return _merge(body, top, bot, out)
+
+
+def random_camera(rng) -> Mesh:
+    w = 1.0
+    hh = w * rng.uniform(0.55, 0.8)
+    d = w * rng.uniform(0.35, 0.55)
+    body = make_box((w, hh, d))
+    lens_r = w * rng.uniform(0.16, 0.28)
+    lens_l = d * rng.uniform(0.3, 0.8)
+    lens = _rot_x90(make_lathe([(0.0, lens_r), (lens_l, lens_r)]))
+    lens = _translate(lens, (rng.uniform(-0.15, 0.15) * w, 0.0, d / 2))
+    parts = [body, lens]
+    if rng.uniform() < 0.5:  # viewfinder bump
+        parts.append(_translate(make_box((w * 0.3, hh * 0.25, d * 0.6)),
+                                (rng.uniform(-0.2, 0.2) * w, hh / 2, 0)))
+    return _merge(*parts)
+
+
+def random_laptop(rng) -> Mesh:
+    """Open laptop: base slab in xz + screen slab hinged at the back (-z)."""
+    w = rng.uniform(1.0, 1.4)
+    d = rng.uniform(0.7, 1.0)
+    t = rng.uniform(0.035, 0.07)
+    ang = np.deg2rad(rng.uniform(95, 135))
+    base = _translate(make_box((w, t, d)), (0, t / 2, 0))
+    sh = d * rng.uniform(0.85, 1.1)
+    screen = _translate(make_box((w, sh, t * rng.uniform(0.5, 0.9))), (0, sh / 2, 0))
+    c, s = np.cos(ang - np.pi / 2), np.sin(ang - np.pi / 2)
+    v = screen.vertices.copy()
+    y, z = v[:, 1].copy(), v[:, 2].copy()
+    v[:, 1] = c * y - s * z
+    v[:, 2] = s * y + c * z
+    v[:, 2] -= d / 2  # hinge at the back edge
+    v[:, 1] += t
+    return _merge(base, Mesh(v.astype(np.float32), screen.faces))
+
+
+def random_table(rng) -> Mesh:
+    w, d = 1.0, rng.uniform(0.5, 1.0)
+    h = rng.uniform(0.5, 0.9)
+    t = rng.uniform(0.04, 0.09)
+    lt = rng.uniform(0.04, 0.1)
+    top = _translate(make_box((w, t, d)), (0, h - t / 2, 0))
+    legs = [_translate(make_box((lt, h - t, lt)),
+                       (sx * (w / 2 - lt), (h - t) / 2, sz * (d / 2 - lt)))
+            for sx in (-1, 1) for sz in (-1, 1)]
+    return _merge(top, *legs)
+
+
+def random_chair(rng) -> Mesh:
+    w = rng.uniform(0.45, 0.65)
+    seat_h = rng.uniform(0.4, 0.55)
+    back_h = rng.uniform(0.4, 0.6)
+    t = rng.uniform(0.04, 0.08)
+    lt = rng.uniform(0.03, 0.06)
+    seat = _translate(make_box((w, t, w)), (0, seat_h, 0))
+    back = _translate(make_box((w, back_h, t)), (0, seat_h + back_h / 2, -(w - t) / 2))
+    legs = [_translate(make_box((lt, seat_h, lt)),
+                       (sx * (w / 2 - lt), seat_h / 2, sz * (w / 2 - lt)))
+            for sx in (-1, 1) for sz in (-1, 1)]
+    return _merge(seat, back, *legs)
+
+
+def random_bed(rng) -> Mesh:
+    w = rng.uniform(0.8, 1.2)
+    d = w * rng.uniform(1.4, 1.9)
+    h = rng.uniform(0.25, 0.45)
+    head_h = rng.uniform(0.3, 0.6)
+    body = _translate(make_box((w, h, d)), (0, h / 2, 0))
+    head = _translate(make_box((w, head_h, 0.08)), (0, h + head_h / 2, -(d - 0.08) / 2))
+    return _merge(body, head)
+
+
+def random_sofa(rng) -> Mesh:
+    w = rng.uniform(1.2, 2.0)
+    d = rng.uniform(0.6, 0.9)
+    seat_h = rng.uniform(0.3, 0.45)
+    back_h = rng.uniform(0.35, 0.55)
+    arm_w = rng.uniform(0.1, 0.2)
+    seat = _translate(make_box((w, seat_h, d)), (0, seat_h / 2, 0))
+    back = _translate(make_box((w, back_h, d * 0.25)), (0, seat_h + back_h / 2, -d * 0.375))
+    arms = [_translate(make_box((arm_w, seat_h * 1.5, d)),
+                       (sx * (w - arm_w) / 2, seat_h * 0.75, 0)) for sx in (-1, 1)]
+    return _merge(seat, back, *arms)
+
+
+def random_bookshelf(rng) -> Mesh:
+    w = rng.uniform(0.7, 1.1)
+    h = rng.uniform(1.3, 2.0)
+    d = rng.uniform(0.25, 0.4)
+    t = 0.04
+    n_shelves = int(rng.integers(3, 6))
+    sides = [_translate(make_box((t, h, d)), (sx * (w - t) / 2, h / 2, 0)) for sx in (-1, 1)]
+    backp = _translate(make_box((w, h, t)), (0, h / 2, -(d - t) / 2))
+    shelves = [_translate(make_box((w - 2 * t, t, d)), (0, h * (i + 0.5) / n_shelves, 0))
+               for i in range(n_shelves)]
+    return _merge(*sides, backp, *shelves)
+
+
+def random_bathtub(rng) -> Mesh:
+    w = rng.uniform(0.6, 0.9)
+    d = w * rng.uniform(1.8, 2.6)
+    h = rng.uniform(0.4, 0.6) * w
+    t = 0.08 * w
+    outer = _translate(make_box((w, h, d)), (0, h / 2, 0))
+    walls = [
+        _translate(make_box((w, t, d)), (0, t / 2, 0)),  # floor marker
+        _translate(make_box((t, h, d)), ((w - t) / 2, h / 2, 0)),
+        _translate(make_box((t, h, d)), (-(w - t) / 2, h / 2, 0)),
+        _translate(make_box((w, h, t)), (0, h / 2, (d - t) / 2)),
+        _translate(make_box((w, h, t)), (0, h / 2, -(d - t) / 2)),
+    ]
+    del outer
+    return _merge(*walls)
+
+
+def random_box(rng) -> Mesh:
+    return make_box((rng.uniform(0.5, 1.2), rng.uniform(0.5, 1.2), rng.uniform(0.5, 1.2)))
+
+
+RANDOM_PRIMITIVES = {
+    "bottle": random_bottle,
+    "can": random_can,
+    "bowl": random_bowl,
+    "mug": random_mug,
+    "camera": random_camera,
+    "laptop": random_laptop,
+    "table": random_table,
+    "chair": random_chair,
+    "bed": random_bed,
+    "sofa": random_sofa,
+    "bookshelf": random_bookshelf,
+    "bathtub": random_bathtub,
+}
+
+
+def random_primitive(category: str, rng: np.random.Generator) -> Mesh:
+    """A fresh randomly-parameterised instance of the category family."""
+    fn = RANDOM_PRIMITIVES.get(category, random_box)
+    return fn(rng)
+
+
 def sample_surface(mesh: Mesh, n: int, rng: np.random.Generator) -> np.ndarray:
     """Area-weighted uniform surface samples [n, 3]."""
     v = mesh.vertices

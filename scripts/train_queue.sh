@@ -1,5 +1,8 @@
 #!/bin/bash
 # Sequential training queue with per-item retry (transient TPU-client errors).
+# Round 2: parameter-randomised primitive families; all six NOCS categories
+# to the reference 200-epoch budget (resumed models extend past their round-1
+# epoch count), plus the regression model for zero-shot.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export PYTHONUNBUFFERED=1
@@ -14,9 +17,12 @@ run_item () {
   done
 }
 
-run_item python -m cppf_tpu.train.loop category=bowl max_epoch=200 batch_size=2 npoint_pad=4096 out_dir=checkpoints/bowl resume=true
-run_item python -m cppf_tpu.train.loop category=bowl max_epoch=100 batch_size=2 npoint_pad=4096 cls_bins=false out_dir=checkpoints/bowl_reg resume=true
-run_item python -m cppf_tpu.train.loop category=bottle max_epoch=120 batch_size=2 npoint_pad=4096 out_dir=checkpoints/bottle resume=true
-run_item python -m cppf_tpu.train.loop category=can max_epoch=120 batch_size=2 npoint_pad=4096 out_dir=checkpoints/can resume=true
-run_item python -m cppf_tpu.train.loop category=mug max_epoch=120 batch_size=2 npoint_pad=4096 out_dir=checkpoints/mug resume=true
+T="python -m cppf_tpu.train.loop batch_size=2 npoint_pad=4096 resume=true"
+run_item $T category=bottle max_epoch=240 out_dir=checkpoints/bottle
+run_item $T category=bowl   max_epoch=220 cls_bins=false out_dir=checkpoints/bowl_reg
+run_item $T category=camera max_epoch=200 out_dir=checkpoints/camera
+run_item $T category=laptop max_epoch=200 out_dir=checkpoints/laptop
+run_item $T category=mug    max_epoch=200 out_dir=checkpoints/mug
+run_item $T category=can    max_epoch=200 out_dir=checkpoints/can
+run_item $T category=bowl   max_epoch=280 out_dir=checkpoints/bowl
 echo QUEUE_DONE

@@ -70,6 +70,30 @@ f 1/1/1 2/2/2 3/3/3 4/4/4
     assert mesh.faces.shape == (2, 3)  # quad fan-triangulated
 
 
+@pytest.mark.parametrize("category", sorted(
+    __import__("cppf_tpu.data.synthetic", fromlist=["RANDOM_PRIMITIVES"]).RANDOM_PRIMITIVES))
+def test_random_primitive_families(category):
+    """Every randomised family yields watertight-enough meshes with real
+    per-sample shape variation (the role ShapeNet diversity plays,
+    reference utils/dataset.py:84-257)."""
+    from cppf_tpu.data.synthetic import random_primitive, sample_surface
+
+    rng = np.random.default_rng(3)
+    diags = []
+    for _ in range(4):
+        m = random_primitive(category, rng)
+        assert np.isfinite(m.vertices).all()
+        assert m.faces.min() >= 0 and m.faces.max() < len(m.vertices)
+        pts = sample_surface(m, 512, rng)
+        assert np.isfinite(pts).all()
+        ext = m.vertices.max(0) - m.vertices.min(0)
+        assert (ext > 1e-3).all()
+        diags.append(ext / np.linalg.norm(ext))
+    # shapes actually vary across draws (normalised aspect ratios differ)
+    diags = np.stack(diags)
+    assert np.ptp(diags, axis=0).max() > 0.005
+
+
 def test_shapenet_dataset_primitive_fallback():
     """Without a ShapeNet root the dataset renders built-in primitives and
     produces canonical-frame clouds centred at the origin."""
