@@ -20,6 +20,18 @@ def _path(d: str) -> str:
     return os.path.abspath(d)
 
 
+def _restore_numpy(path: str):
+    """Restore a checkpoint as host numpy arrays regardless of the platform
+    it was saved on (a TPU-saved checkpoint must be loadable in CPU-only
+    processes: tests, eval drivers, warm starts)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(path).item_metadata.tree
+    return ckptr.restore(
+        path,
+        restore_args=jax.tree.map(lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree),
+    )
+
+
 def save_train_state(ckpt_dir: str, state, name: str = "best") -> None:
     path = os.path.join(_path(ckpt_dir), name)
     ckptr = ocp.StandardCheckpointer()
@@ -36,8 +48,7 @@ def load_train_state(ckpt_dir: str, abstract_state, name: str = "best"):
     optax states) from the template's structure.
     """
     path = os.path.join(_path(ckpt_dir), name)
-    ckptr = ocp.StandardCheckpointer()
-    raw = ckptr.restore(path)  # nested dicts/lists of numpy arrays
+    raw = _restore_numpy(path)  # nested dicts/lists of numpy arrays
     template = {
         "params": abstract_state.params,
         "opt_state": abstract_state.opt_state,
@@ -63,8 +74,7 @@ def save_params(ckpt_dir: str, params: Any, name: str = "best") -> None:
 
 def load_params(ckpt_dir: str, name: str = "best") -> Any:
     path = os.path.join(_path(ckpt_dir), name)
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)
+    restored = _restore_numpy(path)
     return jax.tree.map(np.asarray, restored["params"])
 
 

@@ -116,26 +116,44 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
     tx = make_optimizer(cfg)
     state = init_train_state(jax.random.PRNGKey(0), cfg, cfg.npoint_pad)
     start_epoch = 0
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
     if resume and os.path.isdir(os.path.join(out_dir, "best")):
         # full resume (params + optimizer state + step) — the reference can
         # only reload weights (SURVEY §5: save-only checkpoints)
         state = checkpoints.load_train_state(out_dir, state, name="best")
         start_epoch = int(state.step) // max(1, len(ds) // cfg.batch_size)
         log.info("resumed from %s at step %d (epoch %d)", out_dir, int(state.step), start_epoch)
+    elif resume and os.path.isdir(os.path.join(out_dir, "params_best")):
+        # params-only warm start (older runs saved no optimizer state);
+        # recover the epoch count from the metrics log so budgets extend
+        # past the previous run instead of restarting it
+        params = checkpoints.load_params(out_dir, name="params_best")
+        state = state._replace(params=jax.tree.map(jnp.asarray, params))
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                epochs = [json.loads(l)["epoch"] for l in f if l.strip()]
+            start_epoch = (max(epochs) + 1) if epochs else 0
+        log.info("warm-started params from %s/params_best (epoch %d, fresh optimizer)",
+                 out_dir, start_epoch)
 
     rng = jax.random.fold_in(jax.random.PRNGKey(1), start_epoch)
     best_loss = np.inf
     history = []
-    metrics_path = os.path.join(out_dir, "metrics.jsonl")
     for epoch in range(start_epoch, cfg.max_epoch):
         meters: dict[str, AverageMeter] = {}
         t0 = time.time()
         steps = max(1, len(ds) // cfg.batch_size)
+        # keep per-step loss components as device arrays until epoch end —
+        # float() every step would block dispatch and serialize host render
+        # with the device step
+        step_comps = []
         for _ in range(steps):
             samples = [ds.sample() for _ in range(cfg.batch_size)]
             rng, rb = jax.random.split(rng)
             batch = build_batch(cfg, rb, samples, cfg.npoint_pad)
             state, comps = train_step(state, batch, statics, tx)
+            step_comps.append(comps)
+        for comps in jax.device_get(step_comps):
             for k, v in comps.items():
                 meters.setdefault(k, AverageMeter()).update(float(v))
         avg = {k: m.avg for k, m in meters.items()}

@@ -18,7 +18,7 @@ run_item () {
 }
 
 T="python -m cppf_tpu.train.loop batch_size=2 npoint_pad=4096 resume=true"
-run_item $T category=bottle max_epoch=240 out_dir=checkpoints/bottle
+run_item $T category=bottle max_epoch=200 out_dir=checkpoints/bottle
 run_item $T category=bowl   max_epoch=220 cls_bins=false out_dir=checkpoints/bowl_reg
 run_item $T category=camera max_epoch=200 out_dir=checkpoints/camera
 run_item $T category=laptop max_epoch=200 out_dir=checkpoints/laptop
