@@ -90,6 +90,48 @@ class CategoryRunner:
         )
         return out, pre
 
+    def estimate_batch(self, rng, pc_list, pad_to: int | None = None):
+        """One jitted program for a whole frame's crops of this category.
+
+        The reference loops instances serially on the GPU
+        (nocs/inference.py:108-120); here B instances vmap through
+        preprocess + pose together.  The batch is padded (duplicating
+        instance 0) to ``pad_to`` if given — drivers pass their max_batch so
+        exactly ONE batched program shape ever compiles (full-pipeline
+        compile time scales with B) — else to the next power of two.
+        Returns a stacked PoseResult; rows [len(pc_list):] are padding.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from cppf_tpu.pipeline.pose import estimate_pose_batch
+        from cppf_tpu.pipeline.preprocess import preprocess_cloud_batch
+
+        cfg = self.cfg
+        n_raw_pad = cfg.npoint_max
+        B = len(pc_list)
+        B_pad = pad_to if pad_to is not None else 1 << (B - 1).bit_length()
+        assert B <= B_pad
+        pads = np.zeros((B_pad, n_raw_pad, 3), np.float32)
+        n_raws = np.zeros(B_pad, np.int32)
+        for i, pc_raw in enumerate(pc_list):
+            n = min(len(pc_raw), n_raw_pad)
+            pads[i, :n] = pc_raw[:n]
+            n_raws[i] = n
+        for i in range(B, B_pad):
+            pads[i] = pads[0]
+            n_raws[i] = n_raws[0]
+        keys = jax.random.split(rng, 2 * B_pad)
+        pre = preprocess_cloud_batch(keys[:B_pad], jnp.asarray(pads),
+                                     jnp.asarray(n_raws), cfg.res,
+                                     npoint_pad=cfg.npoint_pad, knn=cfg.knn)
+        out = estimate_pose_batch(
+            keys[B_pad:], self.params["point"], self.params["ppf"], pre.pc,
+            pre.normals, pre.n_valid, self.sphere, self.pcfg,
+            nbr_idxs=pre.nbr_idx,
+        )
+        return out, pre
+
 
 def laptop_up_from_aux(img, depth_mask_idxs, pc, pre, segmenter, rng):
     """Laptop lid/base split → up axis (reference nocs/inference.py:144-172).
@@ -136,12 +178,19 @@ def main(argv=None):
     parser.add_argument("--adaptive_voting", action="store_true")
     parser.add_argument("--max_frames", type=int, default=0, help="0 = all")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--serial", action="store_true",
+                        help="reference-style per-instance loop (no batching)")
+    parser.add_argument("--max_batch", type=int, default=4,
+                        help="cap instances per batched pose program")
     args = parser.parse_args(argv)
 
     import cv2
     import jax
 
     from cppf_tpu.core.geometry import backproject
+    from cppf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     os.makedirs(args.out_dir, exist_ok=True)
     final_results = load_detection_priors(args.seg_dir)
@@ -174,35 +223,53 @@ def main(argv=None):
         scales = np.ones((len(bboxs), 3), dtype=np.float32)
         cls_ids = res["pred_class_ids"]
 
+        # gather per-category instance groups; laptop keeps the serial path
+        # (its aux-segmenter override needs a host round-trip between two
+        # pose passes)
+        groups: dict[str, list] = {}
         for i, bbox in enumerate(bboxs):
             if args.bbox_mask:
                 masks[:, :, i][bbox[0]:bbox[2], bbox[1]:bbox[3]] = True
             cls_name = SYNSET_NAMES[cls_ids[i]]
-            runner = runners.get(cls_name)
-            if runner is None:
+            if runners.get(cls_name) is None:
                 continue
-
             pc, idxs = backproject(depth, REAL275_INTRINSICS, masks[:, :, i])
             pc = pc / 1000.0
             pc[:, 0] = -pc[:, 0]
             pc[:, 1] = -pc[:, 1]
             if len(pc) < 20:
                 continue
+            groups.setdefault(cls_name, []).append((i, pc.astype(np.float32)))
 
-            laptop_up = None
-            rng, r_inst, r_plane = jax.random.split(rng, 3)
-            out, pre = runner.estimate(r_inst, pc.astype(np.float32))
-            if cls_name == "laptop" and segmenter is not None:
-                n = int(pre.n_valid)
-                laptop_up = laptop_up_from_aux(
-                    img, np.where(masks[:, :, i]), np.asarray(pre.pc)[:n], pre,
-                    segmenter, r_plane,
-                )
-                if laptop_up is not None:
-                    out, _ = runner.estimate(r_inst, pc.astype(np.float32), laptop_up)
-
-            RTs[i] = np.asarray(out.RT)
-            scales[i] = np.asarray(out.scale_unit)
+        for cls_name, items in groups.items():
+            runner = runners[cls_name]
+            batched = (not args.serial and cls_name != "laptop" and len(items) > 1)
+            if batched:
+                for k in range(0, len(items), args.max_batch):
+                    chunk = items[k:k + args.max_batch]
+                    rng, r_chunk = jax.random.split(rng)
+                    out, _ = runner.estimate_batch(r_chunk, [pc for _, pc in chunk],
+                                                   pad_to=args.max_batch)
+                    RT_np = np.asarray(out.RT)
+                    sc_np = np.asarray(out.scale_unit)
+                    for b, (i, _) in enumerate(chunk):
+                        RTs[i] = RT_np[b]
+                        scales[i] = sc_np[b]
+                continue
+            for i, pc in items:
+                laptop_up = None
+                rng, r_inst, r_plane = jax.random.split(rng, 3)
+                out, pre = runner.estimate(r_inst, pc)
+                if cls_name == "laptop" and segmenter is not None:
+                    n = int(pre.n_valid)
+                    laptop_up = laptop_up_from_aux(
+                        img, np.where(masks[:, :, i]), np.asarray(pre.pc)[:n], pre,
+                        segmenter, r_plane,
+                    )
+                    if laptop_up is not None:
+                        out, _ = runner.estimate(r_inst, pc, laptop_up)
+                RTs[i] = np.asarray(out.RT)
+                scales[i] = np.asarray(out.scale_unit)
 
         res["pred_RTs"] = RTs
         res["pred_scales"] = scales

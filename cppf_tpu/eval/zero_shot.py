@@ -244,6 +244,10 @@ def main(argv=None):
 
     import cv2
 
+    from cppf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cppf_tpu.config import load_config
     from cppf_tpu.core.geometry import (
         calculate_2d_projections, get_3d_bbox, transform_coordinates_3d,

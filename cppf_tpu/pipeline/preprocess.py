@@ -61,3 +61,26 @@ def preprocess_cloud(
     normals = estimate_normals(pc, knn, valid, nbr_idx=nbr_idx)
     normals = jnp.where(valid[:, None], normals, 0.0)
     return PreprocessedCloud(pc, normals, n_keep.astype(jnp.int32), valid, nbr_idx)
+
+
+@partial(jax.jit, static_argnames=("npoint_pad", "knn", "jitter"))
+def preprocess_cloud_batch(
+    rngs: jax.Array,
+    pcs_raw: jnp.ndarray,
+    n_raws: jnp.ndarray,
+    res,
+    npoint_pad: int = 8192,
+    knn: int = 60,
+    jitter: bool = True,
+) -> PreprocessedCloud:
+    """Batched preprocessing: rngs [B,2] keys, pcs_raw [B,N,3], n_raws [B].
+
+    One vmapped program per frame instead of the reference's serial
+    per-instance NumPy→MinkowskiEngine→Open3D loop (nocs/inference.py:131-142).
+    """
+
+    def one(rng, pc, n):
+        return preprocess_cloud(rng, pc, n, res, npoint_pad=npoint_pad,
+                                knn=knn, jitter=jitter)
+
+    return jax.vmap(one)(rngs, pcs_raw, n_raws)

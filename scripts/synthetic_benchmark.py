@@ -26,13 +26,17 @@ from cppf_tpu.data.synthetic import PRIMITIVES, mesh_bounds, random_pose, sample
 from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS, SYNSET_NAMES
 
 
-def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0):
-    """NOCS-format frames (depth png + detection pkl) of a posed primitive."""
+def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
+                instances: int = 1):
+    """NOCS-format frames (depth png + detection pkl) of posed primitives.
+
+    ``instances`` > 1 renders several independently posed instances of the
+    category into one frame (z-buffer composited, per-instance visibility
+    masks) — the workload the batched driver exists for.
+    """
     import cv2
 
     rng = np.random.default_rng(seed)
-    mesh = PRIMITIVES[category]()
-    lo, hi = mesh_bounds(mesh)
     cls_id = SYNSET_NAMES.index(category)
     K = REAL275_INTRINSICS
 
@@ -41,48 +45,79 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0):
     os.makedirs(seg_dir, exist_ok=True)
 
     for f_idx in range(n_frames):
-        R, T = random_pose(rng)
-        T = T.copy()
-        T[2] = -T[2]  # camera frame: object in front at +z after NOCS flips
-        scale = float(rng.uniform(0.9, 1.3))
-        v_canon = (mesh.vertices - (lo + hi) / 2) * scale
-        v_cam_nocs = v_canon @ R.T + T
-        # our rasterizer looks down -z with +y up and projects v = cy - fy*y/d;
-        # the NOCS backprojection + the driver's x/y re-negation recover
-        # (x, -y_render, depth), so render the y-mirrored scene at -z
-        v_render = v_cam_nocs * np.float32([1, -1, -1])
-        depth = native.rasterize_depth(v_render, mesh.faces, K[0, 0], K[1, 1],
-                                       K[0, 2], K[1, 2], 640, 480)
-        mask = depth > 0
-        if mask.sum() < 300:
+        depths, gts = [], []
+        for inst in range(instances):
+            mesh = PRIMITIVES[category]()
+            lo, hi = mesh_bounds(mesh)
+            R, T = random_pose(rng)
+            T = T.copy()
+            T[2] = -T[2]  # camera frame: object in front at +z after NOCS flips
+            if instances > 1:
+                # spread instances laterally so every one stays visible
+                T[0] += 0.55 * (inst - (instances - 1) / 2)
+                T[2] -= 0.3 * inst
+            scale = float(rng.uniform(0.9, 1.3))
+            v_canon = (mesh.vertices - (lo + hi) / 2) * scale
+            v_cam_nocs = v_canon @ R.T + T
+            # our rasterizer looks down -z with +y up and projects
+            # v = cy - fy*y/d; the NOCS backprojection + the driver's x/y
+            # re-negation recover (x, -y_render, depth), so render the
+            # y-mirrored scene at -z
+            v_render = v_cam_nocs * np.float32([1, -1, -1])
+            depth = native.rasterize_depth(v_render, mesh.faces, K[0, 0], K[1, 1],
+                                           K[0, 2], K[1, 2], 640, 480)
+            bound = (hi - lo).copy()
+            bound[[0, 2]] = bound[[2, 0]]
+            depths.append(depth)
+            gts.append((R, T, bound * scale))
+
+        # z-buffer composite: each pixel belongs to the nearest instance
+        stack = np.stack(depths)                      # [I, H, W]
+        stack_inf = np.where(stack > 0, stack, np.inf)
+        nearest = np.argmin(stack_inf, axis=0)
+        any_hit = np.isfinite(stack_inf.min(axis=0))
+        composite = np.where(any_hit, stack_inf.min(axis=0), 0.0)
+
+        masks, bboxes, keep = [], [], []
+        for inst in range(instances):
+            mask = any_hit & (nearest == inst)
+            if mask.sum() < 300:
+                continue
+            rows, cols = np.where(mask)
+            masks.append(mask)
+            bboxes.append([rows.min(), cols.min(), rows.max(), cols.max()])
+            keep.append(inst)
+        if not keep:
             continue
-        frame_dir = os.path.join(nocs_dir, "real", f"scene_1")
+
+        frame_dir = os.path.join(nocs_dir, "real", "scene_1")
         os.makedirs(frame_dir, exist_ok=True)
         cv2.imwrite(os.path.join(frame_dir, f"{f_idx:04d}_depth.png"),
-                    (depth * 1000).astype(np.uint16))
+                    (composite * 1000).astype(np.uint16))
         cv2.imwrite(os.path.join(frame_dir, f"{f_idx:04d}_color.png"),
                     np.zeros((480, 640, 3), np.uint8))
 
-        rows, cols = np.where(mask)
-        bbox = np.array([rows.min(), cols.min(), rows.max(), cols.max()])
         # NOCS GT conventions: RT holds R*|s|, gt_scales the unit scale
-        bound = (hi - lo).copy()
-        bound[[0, 2]] = bound[[2, 0]]
-        abs_scale = bound * scale
-        s_norm = np.linalg.norm(abs_scale)
-        gt_RT = np.eye(4, dtype=np.float32)
-        gt_RT[:3, :3] = R * s_norm
-        gt_RT[:3, 3] = T
+        gt_RTs, gt_scales = [], []
+        for inst in keep:
+            R, T, abs_scale = gts[inst]
+            s_norm = np.linalg.norm(abs_scale)
+            gt_RT = np.eye(4, dtype=np.float32)
+            gt_RT[:3, :3] = R * s_norm
+            gt_RT[:3, 3] = T
+            gt_RTs.append(gt_RT)
+            gt_scales.append(abs_scale / s_norm)
+        n = len(keep)
         result = {
             "image_path": f"data/real/scene_1/{f_idx:04d}",
-            "pred_bboxes": bbox[None].astype(np.int32),
-            "pred_masks": mask[:, :, None],
-            "pred_class_ids": np.array([cls_id], np.int32),
-            "pred_scores": np.array([1.0], np.float32),
-            "gt_class_ids": np.array([cls_id], np.int32),
-            "gt_RTs": gt_RT[None],
-            "gt_scales": (abs_scale / s_norm)[None].astype(np.float32),
-            "gt_handle_visibility": np.array([1], np.int32),
+            "pred_bboxes": np.asarray(bboxes, np.int32),
+            "pred_masks": np.stack(masks, -1),
+            "pred_class_ids": np.full(n, cls_id, np.int32),
+            "pred_scores": np.ones(n, np.float32),
+            "gt_class_ids": np.full(n, cls_id, np.int32),
+            "gt_RTs": np.stack(gt_RTs),
+            "gt_scales": np.asarray(gt_scales, np.float32),
+            "gt_handle_visibility": np.ones(n, np.int32),
         }
         with open(os.path.join(seg_dir, f"results_real_scene1_{f_idx:04d}.pkl"), "wb") as f:
             pickle.dump(result, f)
@@ -96,20 +131,41 @@ def main():
     ap.add_argument("--n_frames", type=int, default=20)
     ap.add_argument("--out_dir", default="/tmp/synth_bench")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--instances", type=int, default=1,
+                    help="instances per frame (>1 exercises the batched driver)")
+    ap.add_argument("--time_serial", action="store_true",
+                    help="also time the reference-style serial driver and report speedup")
     args = ap.parse_args()
+
+    import time
 
     from cppf_tpu.eval import nocs_eval, nocs_inference
 
-    seg_dir, nocs_dir = make_frames(args.out_dir, args.category, args.n_frames, args.seed)
+    seg_dir, nocs_dir = make_frames(args.out_dir, args.category, args.n_frames,
+                                    args.seed, instances=args.instances)
     pred_dir = os.path.join(args.out_dir, "pred")
-    nocs_inference.main([
-        "--seg_dir", seg_dir, "--nocs_dir", nocs_dir, "--out_dir", pred_dir,
-        "--ckpt_path", args.ckpt_path, "--seed", str(args.seed),
-    ])
+    common = ["--seg_dir", seg_dir, "--nocs_dir", nocs_dir,
+              "--ckpt_path", args.ckpt_path, "--seed", str(args.seed)]
+    if args.time_serial:
+        # warm the compile caches on one frame each so timings are steady-state
+        warm = ["--max_frames", "1", "--out_dir", os.path.join(args.out_dir, "warm")]
+        nocs_inference.main(common + warm + ["--serial"])
+        nocs_inference.main(common + warm)
+        t0 = time.time()
+        nocs_inference.main(common + ["--out_dir", pred_dir + "_serial", "--serial"])
+        t_serial = time.time() - t0
+        t0 = time.time()
+        nocs_inference.main(common + ["--out_dir", pred_dir])
+        t_batch = time.time() - t0
+        print(f"\nserial driver:  {t_serial:.2f}s  ({args.n_frames / t_serial:.2f} frames/s)")
+        print(f"batched driver: {t_batch:.2f}s  ({args.n_frames / t_batch:.2f} frames/s)")
+        print(f"speedup: {t_serial / t_batch:.2f}x  ({args.instances} instances/frame)")
+    else:
+        nocs_inference.main(common + ["--out_dir", pred_dir])
     iou_aps, pose_aps, _, _ = nocs_eval.main(["--pred_dir", pred_dir, "--subsample", "1"])
     cls = SYNSET_NAMES.index(args.category)
     print("\n=== synthetic benchmark summary ===")
-    print(f"category: {args.category}  frames: {args.n_frames}")
+    print(f"category: {args.category}  frames: {args.n_frames}  instances/frame: {args.instances}")
     print(f"3D IoU@25: {iou_aps[cls, 25] * 100:.1f}   IoU@50: {iou_aps[cls, 50] * 100:.1f}")
     for i, deg in enumerate([5, 10, 15]):
         for j, cm in enumerate([5, 10, 15]):

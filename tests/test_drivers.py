@@ -117,6 +117,88 @@ def test_nocs_inference_and_eval_chain(tmp_path, rng):
     assert np.all((iou_aps >= 0) & (iou_aps <= 1))
 
 
+def _make_multi_instance_frame(tmp_path, n_inst=2):
+    """Two bowls side by side, z-buffer composited, per-instance masks."""
+    import cv2
+
+    mesh = PRIMITIVES["bowl"]()
+    K = REAL275_INTRINSICS
+    depths, Ts = [], []
+    for i in range(n_inst):
+        T = np.float32([0.05 + 0.45 * (i - (n_inst - 1) / 2), -0.05, 0.8 + 0.1 * i])
+        v_cam = mesh.vertices * 1.2
+        v_cam = v_cam * np.float32([1, -1, -1]) + np.float32([T[0], -T[1], -T[2]])
+        depths.append(native.rasterize_depth(v_cam, mesh.faces, K[0, 0], K[1, 1],
+                                             K[0, 2], K[1, 2], 640, 480))
+        Ts.append(T)
+    stack = np.stack(depths)
+    stack_inf = np.where(stack > 0, stack, np.inf)
+    nearest = np.argmin(stack_inf, axis=0)
+    any_hit = np.isfinite(stack_inf.min(axis=0))
+    composite = np.where(any_hit, stack_inf.min(axis=0), 0.0)
+
+    frame_dir = tmp_path / "nocs" / "real" / "scene_1"
+    os.makedirs(frame_dir, exist_ok=True)
+    cv2.imwrite(str(frame_dir / "0000_depth.png"), (composite * 1000).astype(np.uint16))
+    cv2.imwrite(str(frame_dir / "0000_color.png"), np.zeros((480, 640, 3), np.uint8))
+
+    masks, bboxes, gt_RTs = [], [], []
+    for i in range(n_inst):
+        mask = any_hit & (nearest == i)
+        assert mask.sum() > 300
+        rows, cols = np.where(mask)
+        masks.append(mask)
+        bboxes.append([rows.min(), cols.min(), rows.max(), cols.max()])
+        gt_RT = np.eye(4, dtype=np.float32)
+        gt_RT[:3, 3] = Ts[i]
+        gt_RTs.append(gt_RT)
+    cls = SYNSET_NAMES.index("bowl")
+    result = {
+        "image_path": "data/real/scene_1/0000",
+        "pred_bboxes": np.asarray(bboxes, np.int32),
+        "pred_masks": np.stack(masks, -1),
+        "pred_class_ids": np.full(n_inst, cls, np.int32),
+        "pred_scores": np.ones(n_inst, np.float32),
+        "gt_class_ids": np.full(n_inst, cls, np.int32),
+        "gt_RTs": np.stack(gt_RTs),
+        "gt_scales": np.tile(np.float32([0.6, 0.3, 0.6]) / np.linalg.norm([0.6, 0.3, 0.6]),
+                             (n_inst, 1)),
+        "gt_handle_visibility": np.ones(n_inst, np.int32),
+    }
+    seg_dir = tmp_path / "seg"
+    os.makedirs(seg_dir, exist_ok=True)
+    with open(seg_dir / "results_real_scene1_0000.pkl", "wb") as f:
+        pickle.dump(result, f)
+    return seg_dir, tmp_path / "nocs"
+
+
+def test_nocs_batched_driver_multi_instance(tmp_path, rng):
+    """The batched frame path (VERDICT item: beat the reference's serial
+    instance loop, nocs/inference.py:108-120) produces valid reference-format
+    output for a 2-instance frame."""
+    from cppf_tpu.eval import nocs_inference
+
+    _make_checkpoint(tmp_path, "bowl")
+    seg_dir, nocs_dir = _make_multi_instance_frame(tmp_path)
+    out_dir = tmp_path / "pred_batched"
+    nocs_inference.main([
+        "--seg_dir", str(seg_dir), "--nocs_dir", str(nocs_dir),
+        "--out_dir", str(out_dir), "--ckpt_path", str(tmp_path / "checkpoints"),
+    ])
+    pkls = sorted(os.listdir(out_dir))
+    assert pkls
+    with open(out_dir / pkls[0], "rb") as f:
+        res = pickle.load(f)
+    assert res["pred_RTs"].shape == (2, 4, 4)
+    assert np.isfinite(res["pred_RTs"]).all()
+    # both instances got a real pose (not the identity placeholder)
+    for b in range(2):
+        assert not np.allclose(res["pred_RTs"][b], np.eye(4))
+        np.testing.assert_allclose(np.linalg.norm(res["pred_scales"][b]), 1.0, atol=1e-5)
+    # translations differ between instances (distinct objects recovered)
+    assert np.linalg.norm(res["pred_RTs"][0][:3, 3] - res["pred_RTs"][1][:3, 3]) > 0.05
+
+
 def test_sunrgbd_depth_decode():
     from cppf_tpu.eval.sunrgbd_inference import decode_sunrgbd_depth
 
