@@ -207,27 +207,37 @@ def main():
     sphere = jnp.array(pcfg.sphere_points())
 
     # --- ours: full pipeline on the accelerator -----------------------------
-    def run(i, mode_cfg):
-        out = estimate_pose(jax.random.PRNGKey(10 + i), p_pt, p_pf, pre.pc,
-                            pre.normals, pre.n_valid, sphere, mode_cfg,
-                            nbr_idx=pre.nbr_idx)
-        jax.block_until_ready(out.T)
-        return out
+    def dispatch(i, mode_cfg):
+        return estimate_pose(jax.random.PRNGKey(10 + i), p_pt, p_pf, pre.pc,
+                             pre.normals, pre.n_valid, sphere, mode_cfg,
+                             nbr_idx=pre.nbr_idx)
 
-    def measure(mode_cfg, tag, iters=5):
+    def measure(mode_cfg, tag, iters=20):
         t0 = time.time()
-        run(0, mode_cfg)
+        jax.block_until_ready(dispatch(0, mode_cfg).T)
         _log(f"{tag} compile+first run: {time.time() - t0:.1f}s")
+        # throughput: pipelined dispatch (the production regime — drivers
+        # stream instances; device executes in order, so blocking on the
+        # last output waits for all)
         t0 = time.time()
-        for i in range(1, iters + 1):
-            run(i, mode_cfg)
+        outs = [dispatch(i, mode_cfg) for i in range(1, iters + 1)]
+        jax.block_until_ready(outs[-1].T)
         dt = (time.time() - t0) / iters
-        _log(f"{tag}: {dt * 1000:.1f} ms/pose, {N_PAIRS / dt:,.0f} pairs/s")
-        return dt
+        # latency: single blocked call (interactive regime; on this setup it
+        # is dominated by the remote-device RPC round-trip, not compute)
+        lats = []
+        for i in range(3):
+            t0 = time.time()
+            jax.block_until_ready(dispatch(100 + i, mode_cfg).T)
+            lats.append(time.time() - t0)
+        lat = sorted(lats)[1]
+        _log(f"{tag}: {dt * 1000:.1f} ms/pose ({N_PAIRS / dt:,.0f} pairs/s), "
+             f"{lat * 1000:.1f} ms single-call latency")
+        return dt, lat
 
     fast_cfg = PoseConfig(**{**pcfg.__dict__, "splat": "nearest"})
-    dt = measure(fast_cfg, "fast (nearest splat)")
-    dt_parity = measure(pcfg, "parity (trilinear splat)")
+    dt, lat_fast = measure(fast_cfg, "fast (nearest splat)")
+    dt_parity, lat_parity = measure(pcfg, "parity (trilinear splat)")
     ours_pps = N_PAIRS / dt
 
     # --- baseline: vectorised NumPy on host ---------------------------------
@@ -253,6 +263,9 @@ def main():
         "vs_baseline": round(ours_pps / base_pps, 2),
         "ms_per_pose": round(dt * 1000, 2),
         "ms_per_pose_reference_exact_splat": round(dt_parity * 1000, 2),
+        "single_call_latency_ms": round(lat_fast * 1000, 2),
+        "single_call_latency_ms_exact_splat": round(lat_parity * 1000, 2),
+        "splat_equiv_adds_per_s": round(N_PAIRS * pcfg.num_rots * 8 / dt_parity, 1),
         "n_pairs": N_PAIRS,
         "n_points": n,
         "baseline": "vectorized host-NumPy of the same workload (reference CuPy path not runnable here; reference publishes no numbers)",

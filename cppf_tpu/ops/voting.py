@@ -251,7 +251,8 @@ def _maxpool2d(m: jnp.ndarray, fa: int, fb: int | None = None) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("grid_shape", "n_rots", "adaptive", "vchunk",
-                                   "splat", "window", "coarse_factor", "max_rounds"))
+                                   "splat", "window", "coarse_factor", "max_rounds",
+                                   "use_pallas"))
 def ppf_vote_peak(
     pc: jnp.ndarray,
     preds_tr: jnp.ndarray,
@@ -269,6 +270,7 @@ def ppf_vote_peak(
     window: int = 16,
     coarse_factor: int = 8,
     max_rounds: int = 0,
+    use_pallas: bool | None = None,
 ):
     """Argmax/max of the :func:`ppf_vote` grid WITHOUT building the grid.
 
@@ -306,9 +308,16 @@ def ppf_vote_peak(
     which for such vote distributions is as (un)informative as the true
     argmax.
 
+    ``use_pallas`` selects the fused Pallas accumulation kernels
+    (:mod:`cppf_tpu.ops.pallas.vote_hist`) that build the one-hot splat
+    matrices in VMEM instead of HBM; ``None`` resolves to True on TPU.
+    The two paths are equal up to f32 summation order.
+
     Returns (idx [3] int32 — voxel coords of the peak, peak value f32).
     """
     assert window % coarse_factor == 0 and window >= coarse_factor
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     gx, gy, gz = grid_shape
     f8 = coarse_factor
     cdims = tuple(-(-g // f8) for g in grid_shape)
@@ -362,22 +371,30 @@ def ppf_vote_peak(
     pool_z = partial(_coarse_axis_weights, factor=pfz, splat=splat) if pfz > 1 else \
         partial(axis_fn, lo=0)
 
-    def bound_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
-        rxw = axis_fn(cfx[None, :], crx[None, :], row_x, 0) * cw[None, :]
-        ay = pool_y(cfy[:, None], cry[:, None], col_y)
-        az = pool_z(cfz[:, None], crz[:, None], col_z)
-        cols = jnp.concatenate([ay, az], axis=1)
-        ryw = axis_fn(cfy[None, :], cry[None, :], row_y, 0) * cw[None, :]
-        accx, accy = acc
-        accx = accx + jnp.dot(rxw, cols, preferred_element_type=jnp.float32)
-        accy = accy + jnp.dot(ryw, az, preferred_element_type=jnp.float32)
-        return accx, accy
+    if use_pallas:
+        from cppf_tpu.ops.pallas.vote_hist import bound_projections
 
-    acc0 = (jnp.zeros((gx, by_n + bz_n), jnp.float32),
-            jnp.zeros((gy, bz_n), jnp.float32))
-    accx, myz = lax.fori_loop(0, nvc, chunked(bound_body), acc0)
-    mxy = accx[:, :by_n]
-    mxz = accx[:, by_n:]
+        mxy, mxz, myz = bound_projections(
+            fx, fy, fz, rx, ry, rz, wf, gx=gx, gy=gy, by_n=by_n, bz_n=bz_n,
+            pfy=pfy, pfz=pfz, splat=splat, chunk=4096,
+        )
+    else:
+        def bound_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
+            rxw = axis_fn(cfx[None, :], crx[None, :], row_x, 0) * cw[None, :]
+            ay = pool_y(cfy[:, None], cry[:, None], col_y)
+            az = pool_z(cfz[:, None], crz[:, None], col_z)
+            cols = jnp.concatenate([ay, az], axis=1)
+            ryw = axis_fn(cfy[None, :], cry[None, :], row_y, 0) * cw[None, :]
+            accx, accy = acc
+            accx = accx + jnp.dot(rxw, cols, preferred_element_type=jnp.float32)
+            accy = accy + jnp.dot(ryw, az, preferred_element_type=jnp.float32)
+            return accx, accy
+
+        acc0 = (jnp.zeros((gx, by_n + bz_n), jnp.float32),
+                jnp.zeros((gy, bz_n), jnp.float32))
+        accx, myz = lax.fori_loop(0, nvc, chunked(bound_body), acc0)
+        mxy = accx[:, :by_n]
+        mxz = accx[:, by_n:]
     bound = jnp.minimum(
         jnp.minimum(_maxpool2d(mxy, f8, f8 // pfy)[:, :, None],
                     _maxpool2d(mxz, f8, f8 // pfz)[:, None, :]),
@@ -407,14 +424,20 @@ def ppf_vote_peak(
                           cflat % cz_n]).astype(jnp.int32)
         o = (cell * f8) // w8 * w8  # window-aligned: covers whole cells
 
-        def refine_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
-            axw = axis_fn(cfx[None, :], crx[None, :], row_w, o[0]) * cw[None, :]
-            ayz = (axis_fn(cfy[:, None], cry[:, None], jwy, o[1])
-                   * axis_fn(cfz[:, None], crz[:, None], jwz, o[2]))
-            return acc + jnp.dot(axw, ayz, preferred_element_type=jnp.float32)
+        if use_pallas:
+            from cppf_tpu.ops.pallas.vote_hist import refine_window
 
-        win = lax.fori_loop(0, nvc, chunked(refine_body),
-                            jnp.zeros((w8, w8 * w8), jnp.float32))
+            win = refine_window(o, fx, fy, fz, rx, ry, rz, wf,
+                                w8=w8, splat=splat, chunk=4096)
+        else:
+            def refine_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
+                axw = axis_fn(cfx[None, :], crx[None, :], row_w, o[0]) * cw[None, :]
+                ayz = (axis_fn(cfy[:, None], cry[:, None], jwy, o[1])
+                       * axis_fn(cfz[:, None], crz[:, None], jwz, o[2]))
+                return acc + jnp.dot(axw, ayz, preferred_element_type=jnp.float32)
+
+            win = lax.fori_loop(0, nvc, chunked(refine_body),
+                                jnp.zeros((w8, w8 * w8), jnp.float32))
         wmax = jnp.max(win)
         wflat = jnp.argmax(win)
         local = jnp.stack([wflat // (w8 * w8),

@@ -153,11 +153,16 @@ def _vote_axis(
     angles = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
 
     # subsample `rot_subsample` surviving pairs (reference nocs/inference.py:277-279);
-    # if the back-vote filter killed everything, fall back to all pairs
+    # if the back-vote filter killed everything, fall back to all pairs.
+    # Uniform-over-mask sampling via inverse CDF (cumsum + searchsorted):
+    # jax.random.categorical would materialise a [rot_subsample, P] Gumbel
+    # array (~20 ms at 10k x 100k); this is ~none
     p = point_idxs.shape[0]
     any_alive = jnp.any(pair_mask)
-    logp = jnp.where(pair_mask | ~any_alive, 0.0, -jnp.inf)
-    sub = jax.random.categorical(rng_sub, logp, shape=(pcfg.rot_subsample,))
+    keep = (pair_mask | ~any_alive).astype(jnp.float32)
+    cdf = jnp.cumsum(keep)
+    u = jax.random.uniform(rng_sub, (pcfg.rot_subsample,)) * cdf[-1]
+    sub = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, p - 1)
     sub_idxs = point_idxs[sub]
     cands = rot_vote(pc, angles[sub], sub_idxs, n_rots=pcfg.num_rots)
 
