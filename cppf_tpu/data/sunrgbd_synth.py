@@ -1,0 +1,111 @@
+"""Synthetic SUN RGB-D-format scene generator.
+
+Produces the exact on-disk layout the SUN RGB-D drivers consume (reference
+sunrgbd/inference.py:36-120 + eval.py:85-107): ``SUNRGBDMeta.mat`` with
+per-scan ``Rtilt``, and per-scan ``_pc.npz`` / ``_bbox.npy`` / ``_rot.npy`` /
+``_segments.pkl`` dumps plus ``scan_names_list/<class>_val.txt`` — so the
+full scan → inference → NMS → mAP loop runs end-to-end with no external
+dataset.
+
+Frame conventions (derived from the driver/eval math so a perfect predictor
+scores a perfect AP): the eval conjugates both GT and predictions by
+``inv(EX·rot·Rtilt·EX)``; with ``Rtilt = I`` the GT box in the final frame is
+exactly ``(rot_gt, t_gt, extents)`` and the stored cloud must be
+``pc = EX @ (rot_gt @ v_canonical + t_gt)`` — the per-scan augmentation
+``rot`` cancels in the conjugation for any orthonormal value, so we draw a
+random yaw to exercise that path.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from cppf_tpu.data.synthetic import mesh_bounds, random_primitive, sample_surface
+
+EX = np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0]], dtype=np.float64)
+
+
+def _roty(ry: float) -> np.ndarray:
+    """The eval's gravity-axis rotation convention (sunrgbd/eval.py:90-92)."""
+    c, s = np.cos(ry), np.sin(ry)
+    return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+
+
+def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
+               n_scans: int, instances: int = 2, pts_per_obj: int = 6000,
+               seed: int = 0, target_diag: float | None = None):
+    """Write ``n_scans`` synthetic scans of ``instances`` posed instances of
+    ``category`` (+ floor clutter) in SUN RGB-D val format.
+
+    Returns the list of scan names ("1".."n_scans").
+    """
+    rng = np.random.default_rng(seed)
+    root = os.path.join(extra_dir, "sunrgbd_pc_bbox_votes_50k_v1_val")
+    names_dir = os.path.join(extra_dir, "scan_names_list")
+    meta_dir = os.path.join(sunrgbd_dir, "SUNRGBDtoolbox", "Metadata")
+    for d in (root, names_dir, meta_dir):
+        os.makedirs(d, exist_ok=True)
+
+    import scipy.io as sio
+
+    meta = np.zeros((1, n_scans), dtype=[("Rtilt", "O")])
+    for i in range(n_scans):
+        meta[0, i]["Rtilt"] = np.eye(3)
+    sio.savemat(os.path.join(meta_dir, "SUNRGBDMeta.mat"), {"SUNRGBDMeta": meta})
+
+    scan_names = [str(i + 1) for i in range(n_scans)]
+    for scan in scan_names:
+        yaw = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(yaw), np.sin(yaw)
+        # upright(z)-axis rotation in the stored-cloud frame (the dumps'
+        # random augmentation); cancels in the eval conjugation
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+        pcs, segments, bboxes = [], [], []
+        offset = 0
+        for inst in range(instances):
+            mesh = random_primitive(category, rng)
+            lo, hi = mesh_bounds(mesh)
+            diag = float(np.linalg.norm(hi - lo))
+            tgt = target_diag if target_diag is not None else 1.5
+            k = rng.uniform(0.8, 1.2) * tgt / diag
+            pts = (sample_surface(mesh, pts_per_obj, rng) - (lo + hi) / 2) * k
+            extents = (hi - lo) * k
+
+            ry = rng.uniform(0, 2 * np.pi)
+            R_gt = _roty(ry)
+            t_gt = np.array([
+                2.2 * (inst - (instances - 1) / 2) + rng.uniform(-0.2, 0.2),
+                extents[1] / 2,
+                3.0 + 0.8 * inst + rng.uniform(-0.2, 0.2),
+            ])
+            p_world = pts @ R_gt.T + t_gt
+            pcs.append((p_world @ EX.T).astype(np.float32))
+            segments.append(np.arange(offset, offset + pts_per_obj))
+            offset += pts_per_obj
+            # bbox row layout per sunrgbd/eval.py:87-92:
+            # (tx,ty,tz) = bbox[0,2,1]; (sx,sy,sz) = bbox[3,5,4]; ry = -bbox[6]
+            bboxes.append([t_gt[0], t_gt[2], t_gt[1],
+                           extents[0], extents[2], extents[1],
+                           -ry, class_id])
+
+        floor = np.stack([
+            rng.uniform(-4, 4, 2000), rng.uniform(1, 6, 2000), np.zeros(2000),
+        ], -1).astype(np.float32)  # stored frame: z up
+        # the driver applies EX @ rot @ pc_stored; the eval conjugates both GT
+        # and predictions by inv(EX·rot·EX), so the stored cloud is simply the
+        # EX'd world cloud — ``rot`` cancels identically (see module docstring)
+        pc_store = np.concatenate(pcs + [floor], 0)
+
+        base = os.path.join(root, scan)
+        np.savez(base + "_pc.npz", pc=pc_store)
+        np.save(base + "_rot.npy", rot)
+        np.save(base + "_bbox.npy", np.asarray(bboxes, np.float64))
+        with open(base + "_segments.pkl", "wb") as f:
+            pickle.dump(segments, f)
+
+    with open(os.path.join(names_dir, f"{class_id}_val.txt"), "w") as f:
+        f.write("\n".join(scan_names) + "\n")
+    return scan_names

@@ -48,3 +48,64 @@ def test_depth_decode_matches_bit_rotation():
     ref = ((raw >> 3) | (raw << 13)).astype(np.uint16)
     ref = np.minimum(ref, 8000)
     np.testing.assert_array_equal(dec, ref)
+
+
+def test_sunrgbd_synthetic_oracle_protocol(tmp_path):
+    """GT-as-predictions through the full synthetic-scan → eval chain must
+    score perfect AP — an exactness check of the data format, the
+    Rtilt/ex_mat conjugation, NMS, and the mAP protocol together."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from sunrgbd_synthetic_benchmark import write_oracle_predictions
+    from cppf_tpu.data.sunrgbd_synth import make_scans
+    from cppf_tpu.eval import sunrgbd_eval
+    from cppf_tpu.eval.sunrgbd_inference import TYPE2CLASS
+
+    cid = TYPE2CLASS["table"]
+    sun = str(tmp_path / "sun")
+    extra = str(tmp_path / "extra")
+    pred = str(tmp_path / "pred")
+    scans = make_scans(sun, extra, "table", cid, 2, instances=2,
+                       pts_per_obj=800, seed=0)
+    write_oracle_predictions(extra, pred, "table", cid, scans)
+    aps = sunrgbd_eval.main([
+        "--pred_dir", pred, "--sunrgbd_dir", sun,
+        "--sunrgbd_extra_dir", extra, "--categories", "table"])
+    iou_aps, pose_aps, _, _ = aps["table"]
+    assert iou_aps[1, 50] == 1.0
+    assert pose_aps[1, 0, 0] == 1.0  # 5 deg 5 cm
+
+
+def test_sunrgbd_synthetic_driver_chain(tmp_path, rng):
+    """Synthetic scans → scene inference driver (tiny random checkpoint) →
+    eval: the full SUN RGB-D loop runs and produces valid pose rows."""
+    import pickle
+
+    from test_drivers import _make_checkpoint
+    from cppf_tpu.data.sunrgbd_synth import make_scans
+    from cppf_tpu.eval import sunrgbd_eval, sunrgbd_inference
+    from cppf_tpu.eval.sunrgbd_inference import TYPE2CLASS
+
+    cfg = _make_checkpoint(tmp_path, "table")
+    cid = TYPE2CLASS["table"]
+    sun = str(tmp_path / "sun")
+    extra = str(tmp_path / "extra")
+    pred = str(tmp_path / "pred")
+    make_scans(sun, extra, "table", cid, 1, instances=2, pts_per_obj=1500, seed=0)
+    sunrgbd_inference.main([
+        "--sunrgbd_dir", sun, "--sunrgbd_extra_dir", extra,
+        "--out_dir", pred, "--ckpt_path", str(tmp_path / "checkpoints"),
+        "--categories", "table"])
+    with open(tmp_path / "pred" / "results_table.pkl", "rb") as f:
+        poses = pickle.load(f)
+    rows = poses["1"]
+    assert len(rows) == 2
+    for row in rows:
+        assert row[0] == cid and np.all(np.isfinite(row))
+        R = np.array(row[5:14]).reshape(3, 3)
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+    aps = sunrgbd_eval.main([
+        "--pred_dir", pred, "--sunrgbd_dir", sun,
+        "--sunrgbd_extra_dir", extra, "--categories", "table"])
+    iou_aps, pose_aps, _, _ = aps["table"]
+    assert iou_aps.shape[1] == 101 and np.all((iou_aps >= 0) & (iou_aps <= 1))
