@@ -127,3 +127,54 @@ def export_reference_pth(params: dict, point_path: str, ppf_path: str) -> None:
                 for k, v in point_encoder_to_torch(params["point"]).items()}, point_path)
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in ppf_encoder_to_torch(params["ppf"]).items()}, ppf_path)
+
+
+def _in_params(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    """InstanceNorm params from a converted-BN torch layer.
+
+    The reference's convert_layers keeps track_running_stats=True
+    (utils/util.py:49-50), so the state dict carries running_mean/var which
+    eval-mode normalisation uses (nocs/inference.py:94-95)."""
+    out = {"scale": np.asarray(sd[prefix + ".weight"]),
+           "bias": np.asarray(sd[prefix + ".bias"])}
+    if prefix + ".running_mean" in sd:
+        out["mean"] = np.asarray(sd[prefix + ".running_mean"])
+        out["var"] = np.asarray(sd[prefix + ".running_var"])
+    return out
+
+
+def _conv2d(sd: Dict[str, np.ndarray], prefix: str, bias: bool = False) -> dict:
+    # torch OIHW -> flax HWIO
+    out = {"kernel": np.asarray(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def fcn_resnet50_from_torch(sd: Dict[str, np.ndarray],
+                            layers=(3, 4, 6, 3)) -> dict:
+    """torchvision fcn_resnet50 (BN→IN converted, reference
+    train_laptop_aux.py:26-27) state dict → our FCNResNet50 params."""
+    p = {
+        "stem_conv": _conv2d(sd, "backbone.conv1"),
+        "stem_bn": _in_params(sd, "backbone.bn1"),
+        "head_conv": _conv2d(sd, "classifier.0"),
+        "head_bn": _in_params(sd, "classifier.1"),
+        "head_out": _conv2d(sd, "classifier.4", bias=True),
+    }
+    for li, blocks in enumerate(layers):
+        for b in range(blocks):
+            t = f"backbone.layer{li + 1}.{b}"
+            blk = {
+                "conv1": _conv2d(sd, t + ".conv1"),
+                "bn1": _in_params(sd, t + ".bn1"),
+                "conv2": _conv2d(sd, t + ".conv2"),
+                "bn2": _in_params(sd, t + ".bn2"),
+                "conv3": _conv2d(sd, t + ".conv3"),
+                "bn3": _in_params(sd, t + ".bn3"),
+            }
+            if t + ".downsample.0.weight" in sd:
+                blk["down_conv"] = _conv2d(sd, t + ".downsample.0")
+                blk["down_bn"] = _in_params(sd, t + ".downsample.1")
+            p[f"layer{li + 1}_{b}"] = blk
+    return {"params": p}

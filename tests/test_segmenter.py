@@ -60,3 +60,133 @@ def test_seg_train_step_reduces_loss():
             params, opt_state, jax.random.PRNGKey(i), x, y, tx)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def _torch_fcn_resnet50_in(num_classes=2):
+    """torch-side oracle: torchvision's fcn_resnet50 architecture with
+    InstanceNorm2d in place of BatchNorm2d, state-dict-key-compatible with
+    the real torchvision model (torchvision is not installed in this
+    environment; the architecture below mirrors its public source —
+    including _make_layer's previous-dilation-on-first-block behaviour —
+    so reference .pth checkpoints load by key)."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    def IN(c):
+        return tnn.InstanceNorm2d(c, eps=1e-5, momentum=0.1, affine=True,
+                                  track_running_stats=True)
+
+    class Bottleneck(tnn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     dilation=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = IN(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                    padding=dilation, dilation=dilation,
+                                    bias=False)
+            self.bn2 = IN(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = IN(planes * 4)
+            self.relu = tnn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class Backbone(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inplanes, self.dilation = 64, 1
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = IN(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(64, 3)
+            self.layer2 = self._make_layer(128, 4, stride=2)
+            self.layer3 = self._make_layer(256, 6, stride=2, dilate=True)
+            self.layer4 = self._make_layer(512, 3, stride=2, dilate=True)
+
+        def _make_layer(self, planes, blocks, stride=1, dilate=False):
+            downsample = None
+            previous_dilation = self.dilation
+            if dilate:
+                self.dilation *= stride
+                stride = 1
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = tnn.Sequential(
+                    tnn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                               bias=False),
+                    IN(planes * 4))
+            layers = [Bottleneck(self.inplanes, planes, stride, downsample,
+                                 previous_dilation)]
+            self.inplanes = planes * 4
+            layers += [Bottleneck(self.inplanes, planes,
+                                  dilation=self.dilation)
+                       for _ in range(1, blocks)]
+            return tnn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = layer(x)
+            return x
+
+    class FCN(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.classifier = tnn.Sequential(
+                tnn.Conv2d(2048, 512, 3, padding=1, bias=False), IN(512),
+                tnn.ReLU(), tnn.Dropout(0.1), tnn.Conv2d(512, num_classes, 1))
+
+        def forward(self, x):
+            size = x.shape[-2:]
+            y = self.classifier(self.backbone(x))
+            return {"out": F.interpolate(y, size=size, mode="bilinear",
+                                         align_corners=False)}
+
+    return FCN()
+
+
+def test_fcn_resnet50_torch_weight_parity():
+    """Output parity with the reference's exact model: fcn_resnet50 with
+    BatchNorm->InstanceNorm conversion (reference train_laptop_aux.py:26-27,
+    utils/util.py:41-58), run in eval() mode as inference does (reference
+    nocs/inference.py:94-95).  Weights AND running stats are randomised so
+    the test discriminates architecture/convention mismatches."""
+    torch = __import__("torch")
+
+    from cppf_tpu.models.convert import fcn_resnet50_from_torch
+
+    tmodel = _torch_fcn_resnet50_in(num_classes=2)
+    gen = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for name, p in tmodel.named_parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        for name, b in tmodel.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=gen) * 0.1)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=gen) * 0.5 + 0.75)
+    tmodel.eval()
+
+    x = torch.randn(1, 3, 64, 96, generator=gen)
+    with torch.no_grad():
+        ref = tmodel(x)["out"].numpy()          # [1, 2, H, W]
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = fcn_resnet50_from_torch(sd)
+    model = FCNResNet50(num_classes=2, track_stats=True)
+    out = model.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
