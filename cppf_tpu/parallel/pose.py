@@ -1,0 +1,217 @@
+"""Pair-axis-sharded inference: the full 9D pose program over a device mesh.
+
+The reference's inference is a serial single-GPU loop (SURVEY §2); the
+natural scale-out axis is the 100k–5M point pairs.  Here the pair-heavy
+stages — the PPF head, center-vote accumulation, back-vote filter and the
+rot-vote→sphere histogram — run under ``shard_map`` with the pair dimension
+split across the mesh's ``pair`` axis, merged by ``psum`` (ICI all-reduce)
+where the quantity is additive.  Per-point work (KNN, SPRIN features) and
+the tiny decode/assembly stages stay replicated.
+
+The RNG split structure mirrors :func:`cppf_tpu.pipeline.pose.estimate_pose`
+exactly, so with the same key the sharded program reproduces the
+single-device pose up to float summation order
+(tests/test_parallel.py::test_sharded_estimate_pose_matches_single).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from cppf_tpu.parallel.mesh import PAIR_AXIS, sharded_ppf_vote
+from cppf_tpu.pipeline.pose import (
+    PoseConfig,
+    PoseResult,
+    _bce_logits,
+    _masked_mean,
+    vote_pose,
+)
+
+
+def _pad_pairs(mesh, *arrs):
+    s = mesh.shape[PAIR_AXIS]
+    p = arrs[0].shape[0]
+    pad = (-p) % s
+    return p, [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrs]
+
+
+def sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs):
+    """PPF pair head with the pair axis sharded (embarrassingly parallel —
+    no collective; the output keeps the pair sharding)."""
+    from cppf_tpu.models.encoders import PPFEncoder
+
+    out_dim = int(ppf_params["params"]["final"]["bias"].shape[0])
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(), P(), P(), P(PAIR_AXIS)), out_specs=P(PAIR_AXIS))
+    def _head(params_, pc_, nrm_, feat_, idxs_):
+        head = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=out_dim)
+        return head.apply(params_, pc_, nrm_, feat_, idxs_)
+
+    p, (idxs_p,) = _pad_pairs(mesh, point_idxs)
+    return _head(ppf_params, pc, pc_normal, feat, idxs_p)[:p]
+
+
+def sharded_backvote(mesh, pc, preds_tr, point_idxs, corner, res, grid_dims,
+                     pred_center, tol, n_rots=72):
+    """Back-vote filter with the pair axis sharded (per-pair independent)."""
+    from cppf_tpu.ops.voting import backvote
+
+    p, (idxs_p, tr_p) = _pad_pairs(mesh, point_idxs, preds_tr)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(PAIR_AXIS), P(PAIR_AXIS), P(), P(), P()),
+             out_specs=(P(PAIR_AXIS), P(PAIR_AXIS)))
+    def _bv(pc_, tr_, idxs_, corner_, dims_, center_):
+        return backvote(pc_, tr_, idxs_, corner_, res, dims_, center_, tol,
+                        n_rots=n_rots)
+
+    off, mask = _bv(pc, tr_p, idxs_p, corner, grid_dims, pred_center)
+    return off[:p], mask[:p]
+
+
+def sharded_sphere_histogram(mesh, pc, angles, sub_idxs, sphere_pts, cos_tol,
+                             n_rots=72):
+    """rot-vote expansion + sphere binning with the candidate-pair axis
+    sharded; the per-direction counts are additive → one psum."""
+    from cppf_tpu.ops.voting import rot_vote, sphere_bin_count
+
+    p, (idxs_p, ang_p) = _pad_pairs(mesh, sub_idxs, angles)
+    pad_mask = jnp.arange(idxs_p.shape[0]) < p
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS), P()),
+             out_specs=P())
+    def _hist(pc_, ang_, idxs_, mask_, sph_):
+        cands = rot_vote(pc_, ang_, idxs_, n_rots=n_rots)
+        w = jnp.repeat(mask_.astype(jnp.float32), n_rots)
+        local = sphere_bin_count(cands.reshape(-1, 3), sph_, cos_tol, weights=w)
+        return jax.lax.psum(local, PAIR_AXIS)
+
+    return _hist(pc, ang_p, idxs_p, pad_mask, sphere_pts)
+
+
+def _vote_axis_sharded(mesh, rng, pc, pc_normal, point_idxs, pair_mask,
+                       angle_logits, aux_logits, sphere_pts, pcfg):
+    """Sharded twin of pipeline.pose._vote_axis (same rng draw order)."""
+    rng_bin, rng_sub = jax.random.split(rng)
+    bin_idx = jax.random.categorical(rng_bin, angle_logits, axis=-1)
+    angles = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
+
+    p = point_idxs.shape[0]
+    any_alive = jnp.any(pair_mask)
+    keep = (pair_mask | ~any_alive).astype(jnp.float32)
+    cdf = jnp.cumsum(keep)
+    u = jax.random.uniform(rng_sub, (pcfg.rot_subsample,)) * cdf[-1]
+    sub = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, p - 1)
+
+    cos_tol = jnp.cos(jnp.deg2rad(pcfg.angle_prec))
+    counts = sharded_sphere_histogram(mesh, pc, angles[sub], point_idxs[sub],
+                                      sphere_pts, cos_tol, n_rots=pcfg.num_rots)
+    best_dir = sphere_pts[jnp.argmax(counts)]
+
+    ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
+    ab_unit = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
+    n_a = pc_normal[point_idxs[:, 0]]
+    n_canon = n_a * jnp.where(jnp.sum(n_a * ab_unit, -1, keepdims=True) < 0, -1.0, 1.0)
+    target = (jnp.sum(n_canon * best_dir, -1) > 0).astype(pc.dtype)
+    up_loss = _bce_logits(aux_logits, target, pair_mask)
+    down_loss = _bce_logits(aux_logits, 1.0 - target, pair_mask)
+    return jnp.where(down_loss < up_loss, -best_dir, best_dir)
+
+
+def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
+                          n_valid, sphere_pts, pcfg: PoseConfig,
+                          nbr_idx=None) -> PoseResult:
+    """Full 9D pose with the pair axis sharded over ``mesh``.
+
+    Matches single-device ``estimate_pose(..., center_mode="grid")`` with the
+    same rng up to float summation order.
+    """
+    from cppf_tpu.models.encoders import PointEncoder
+    from cppf_tpu.ops.knn import knn_indices
+    from cppf_tpu.ops.voting import grid_argmax
+
+    rng_pairs, rng_vote = jax.random.split(rng)
+    n = pc.shape[0]
+    valid_mask = jnp.arange(n) < n_valid
+
+    # per-point work: replicated (cheap relative to the pair stages)
+    point_encoder = PointEncoder(spfcs=(32, 64, 32, 32), out_dim=32, num_layers=1)
+    nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
+    feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
+
+    u = jax.random.uniform(rng_pairs, (pcfg.n_pairs, 2))
+    point_idxs = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+    preds = sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs)
+
+    # ---- decode (replicated; same draws as vote_pose) ----------------------
+    rng_tr, rng_up, rng_right, rng_fallback = jax.random.split(rng_vote, 4)
+    B, R = pcfg.tr_num_bins, pcfg.rot_num_bins
+    tr_logits = preds[:, : 2 * B].reshape(-1, 2, B)
+    up_logits = preds[:, 2 * B: 2 * B + R]
+    right_logits = preds[:, 2 * B + R: 2 * B + 2 * R]
+    up_aux, right_aux = preds[:, -5], preds[:, -4]
+    scale_pred = preds[:, -3:]
+
+    rng_tr0, rng_tr1 = jax.random.split(rng_tr)
+    v0, v1 = pcfg.vote_range
+    idx0 = jax.random.categorical(rng_tr0, tr_logits[:, 0], axis=-1)
+    idx1 = jax.random.categorical(rng_tr1, tr_logits[:, 1], axis=-1)
+    proj_len = idx0.astype(pc.dtype) / (B - 1) * 2 * v0 - v0
+    odist = idx1.astype(pc.dtype) / (B - 1) * v1
+    preds_tr = jnp.stack([proj_len, odist], -1)
+
+    # ---- sharded center vote (grid mode + psum) ----------------------------
+    big = jnp.asarray(1e9, pc.dtype)
+    corner = jnp.min(jnp.where(valid_mask[:, None], pc, big), 0)
+    top = jnp.max(jnp.where(valid_mask[:, None], pc, -big), 0)
+    grid_dims = ((top - corner) / pcfg.res).astype(jnp.int32) + 1
+    grid_dims = jnp.minimum(grid_dims, jnp.array(pcfg.grid_shape, jnp.int32))
+    probs = jnp.ones((n,), pc.dtype)
+    grid = sharded_ppf_vote(mesh, pc, preds_tr, probs, point_idxs, corner,
+                            pcfg.res, grid_dims, pcfg.grid_shape,
+                            n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting)
+    T_est = grid_argmax(grid, corner, pcfg.res)
+    grid_max = jnp.max(grid)
+
+    # ---- sharded back-vote -------------------------------------------------
+    _, pair_mask = sharded_backvote(mesh, pc, preds_tr, point_idxs, corner,
+                                    pcfg.res, grid_dims, T_est, 3.0 * pcfg.res,
+                                    n_rots=pcfg.num_rots)
+
+    # ---- axes (sharded sphere histograms) ----------------------------------
+    up = _vote_axis_sharded(mesh, rng_up, pc, pc_normal, point_idxs, pair_mask,
+                            up_logits, up_aux, sphere_pts, pcfg)
+    from cppf_tpu.core.geometry import assemble_rotation, orthonormal_right
+
+    if pcfg.regress_right:
+        right = _vote_axis_sharded(mesh, rng_right, pc, pc_normal, point_idxs,
+                                   pair_mask, right_logits, right_aux,
+                                   sphere_pts, pcfg)
+        right = orthonormal_right(up, right)
+    else:
+        right = jnp.stack([jnp.zeros_like(up[0]), -up[2], up[1]])
+        right = right / (jnp.linalg.norm(right) + 1e-9)
+
+    degen = jnp.linalg.norm(right) < 1e-7
+    rand_right = jax.random.normal(rng_fallback, (3,), pc.dtype)
+    rand_right = orthonormal_right(up, rand_right)
+    right = jnp.where(degen, rand_right, right)
+    R_est = assemble_rotation(up, right, pcfg.z_right)
+
+    scale_mean = jnp.asarray(pcfg.scale_mean, pc.dtype)
+    pred_scale = (jnp.exp(_masked_mean(scale_pred, pair_mask, axis=0))
+                  * scale_mean * pcfg.scale_multiplier)
+    scale_norm = jnp.linalg.norm(pred_scale)
+    RT = jnp.eye(4, dtype=pc.dtype)
+    RT = RT.at[:3, :3].set(R_est * scale_norm)
+    RT = RT.at[:3, 3].set(T_est)
+
+    return PoseResult(T=T_est, R=R_est, scale=pred_scale, RT=RT,
+                      scale_unit=pred_scale / scale_norm, up=up, right=right,
+                      n_filtered=jnp.sum(pair_mask), grid_max=grid_max)

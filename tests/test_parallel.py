@@ -44,3 +44,47 @@ def test_dryrun_multichip_entry():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_estimate_pose_matches_single(rng):
+    """The pair-sharded full pose program reproduces the single-device pose
+    (same rng; grid center mode) up to float summation order."""
+    from cppf_tpu.config import load_config
+    from cppf_tpu.data.synthetic import PRIMITIVES, sample_surface
+    from cppf_tpu.parallel.pose import sharded_estimate_pose
+    from cppf_tpu.pipeline.pose import PoseConfig, estimate_pose, make_models
+    from cppf_tpu.pipeline.preprocess import preprocess_cloud
+
+    cfg = load_config("mug")  # regress_right exercises both axis votes
+    pcfg = PoseConfig.from_config(cfg, n_pairs=2048)
+    pcfg = PoseConfig(**{**pcfg.__dict__, "rot_subsample": 512, "num_rots": 16,
+                         "knn": 16, "center_mode": "grid",
+                         "grid_shape": (48, 48, 48)})
+
+    pc_cam = sample_surface(PRIMITIVES["mug"](), 1500, rng).astype(np.float32) \
+        + np.float32([0.05, -0.02, 0.6])
+    pad = np.zeros((2048, 3), np.float32)
+    pad[:1500] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(0), jnp.asarray(pad), 1500,
+                           cfg.res, npoint_pad=1024, knn=16)
+
+    point_enc, ppf_enc = make_models(cfg)
+    p_pt = point_enc.init(jax.random.PRNGKey(1), pre.pc, pre.normals, pre.nbr_idx)
+    feat = point_enc.apply(p_pt, pre.pc, pre.normals, pre.nbr_idx)
+    p_pf = ppf_enc.init(jax.random.PRNGKey(2), pre.pc, pre.normals, feat,
+                        jnp.zeros((8, 2), jnp.int32))
+    sphere = jnp.asarray(pcfg.sphere_points())
+
+    key = jax.random.PRNGKey(7)
+    single = estimate_pose(key, p_pt, p_pf, pre.pc, pre.normals, pre.n_valid,
+                           sphere, pcfg, nbr_idx=pre.nbr_idx)
+    mesh = make_mesh(8)
+    multi = sharded_estimate_pose(mesh, key, p_pt, p_pf, pre.pc, pre.normals,
+                                  pre.n_valid, sphere, pcfg, nbr_idx=pre.nbr_idx)
+
+    np.testing.assert_allclose(np.asarray(multi.T), np.asarray(single.T), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(multi.up), np.asarray(single.up), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(multi.R), np.asarray(single.R), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(multi.scale), np.asarray(single.scale),
+                               rtol=1e-5)
+    assert int(multi.n_filtered) == int(single.n_filtered)
