@@ -1,0 +1,119 @@
+"""Per-category checkpoint quality eval: render N posed primitives, run the
+full pose pipeline, report median translation / up-axis / scale errors.
+
+This is the round-over-round quality gauge (round-1 bowl: 13.5 mm / 12.2° /
+6.2% at 8 poses); run it after training to verify every category clears the
+bar.  Prints one summary line per category + a JSON blob.
+
+Usage:
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/eval_checkpoints.py \
+        [--categories bowl bottle ...] [--n_poses 12] [--ckpt_path checkpoints]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NOCS_CATEGORIES = ["bottle", "bowl", "camera", "can", "laptop", "mug"]
+SUN_CATEGORIES = ["table", "chair", "bed", "sofa", "bookshelf", "bathtub"]
+
+
+def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
+    """Depth-rendered single-object views (the training distribution), pose
+    errors against the known GT.  Frame conventions match
+    scripts/synthetic_benchmark.py::make_frames / the NOCS driver."""
+    import jax
+
+    from cppf_tpu.core.geometry import backproject
+    from cppf_tpu.data import native
+    from cppf_tpu.data.synthetic import mesh_bounds, random_pose, random_primitive
+    from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS, CategoryRunner
+
+    class A:
+        num_rots = 72
+        angle_prec = 1.5
+        adaptive_voting = False
+
+    runner = CategoryRunner(category, ckpt_path, A)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    K = REAL275_INTRINSICS
+    # place the object far enough that it fits the frustum
+    mean_scale = float(np.linalg.norm(runner.cfg.scale_mean)) * 2
+
+    t_errs, up_errs, s_errs = [], [], []
+    attempts = 0
+    while len(t_errs) < n_poses and attempts < n_poses * 3:
+        attempts += 1
+        mesh = random_primitive(category, rng)
+        lo, hi = mesh_bounds(mesh)
+        diag = float(np.linalg.norm(hi - lo))
+        scale = float(rng.uniform(*runner.cfg.scale_range))
+        R, T = random_pose(rng)
+        T = T.copy() * max(1.0, 3.0 * mean_scale)
+        T[2] = abs(T[2])  # in front of the camera after the NOCS flips
+        v_canon = (mesh.vertices - (lo + hi) / 2) / diag * scale
+        v_cam_nocs = v_canon @ R.T + T
+        v_render = v_cam_nocs * np.float32([1, -1, -1])
+        depth = native.rasterize_depth(v_render, mesh.faces, K[0, 0], K[1, 1],
+                                       K[0, 2], K[1, 2], 640, 480)
+        mask = depth > 0
+        if mask.sum() < 300:
+            continue
+        pc, _ = backproject(depth, K, mask)
+        pc[:, 0] = -pc[:, 0]
+        pc[:, 1] = -pc[:, 1]
+
+        key, k1 = jax.random.split(key)
+        out, _ = runner.estimate(k1, pc.astype(np.float32))
+        T_est = np.asarray(out.T)
+        up_est = np.asarray(out.up)
+        s_est = np.asarray(out.scale)
+
+        t_errs.append(float(np.linalg.norm(T_est - T)))
+        up_true = R[:, 1]
+        cos_signed = float(np.dot(up_est, up_true))
+        up_errs.append(float(np.degrees(np.arccos(np.clip(cos_signed, -1, 1)))))
+        bound = (hi - lo) / diag * scale
+        s_errs.append(float(abs(np.linalg.norm(s_est) - np.linalg.norm(bound))
+                            / np.linalg.norm(bound)))
+    return {
+        "t_err_mm_median": round(float(np.median(t_errs)) * 1000, 1),
+        "up_err_deg_median": round(float(np.median(up_errs)), 1),
+        "scale_err_pct_median": round(float(np.median(s_errs)) * 100, 1),
+        "n_poses": len(t_errs),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--categories", nargs="*", default=None)
+    ap.add_argument("--ckpt_path", default="checkpoints")
+    ap.add_argument("--n_poses", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cats = args.categories or [c for c in NOCS_CATEGORIES + SUN_CATEGORIES
+                               if os.path.isdir(os.path.join(args.ckpt_path, c))]
+    results = {}
+    for c in cats:
+        try:
+            r = eval_category(c, args.ckpt_path, args.n_poses, args.seed)
+        except FileNotFoundError as e:
+            print(f"{c}: no checkpoint ({e})")
+            continue
+        results[c] = r
+        print(f"{c:10s} median T err {r['t_err_mm_median']:7.1f} mm   "
+              f"up err {r['up_err_deg_median']:5.1f} deg   "
+              f"scale err {r['scale_err_pct_median']:5.1f} %")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
