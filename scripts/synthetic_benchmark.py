@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cppf_tpu.config import load_config
 from cppf_tpu.data import native
-from cppf_tpu.data.synthetic import PRIMITIVES, mesh_bounds, random_pose, sample_surface
+from cppf_tpu.data.synthetic import mesh_bounds, random_pose, random_primitive, sample_surface
 from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS, SYNSET_NAMES
 
 
@@ -30,14 +30,17 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
                 instances: int = 1):
     """NOCS-format frames (depth png + detection pkl) of posed primitives.
 
-    ``instances`` > 1 renders several independently posed instances of the
-    category into one frame (z-buffer composited, per-instance visibility
-    masks) — the workload the batched driver exists for.
+    ``category`` may be a comma-separated list (e.g. "bowl,mug,bottle") —
+    each frame then contains ``instances`` independently posed instances of
+    EACH category (z-buffer composited, per-instance visibility masks), the
+    multi-class workload of the real NOCS scenes.  Shapes are drawn from the
+    parameter-randomised primitive families, like training.
     """
     import cv2
 
     rng = np.random.default_rng(seed)
-    cls_id = SYNSET_NAMES.index(category)
+    cats = category.split(",")
+    ranges = {c: load_config(c).scale_range for c in cats}
     K = REAL275_INTRINSICS
 
     seg_dir = os.path.join(out_root, "seg")
@@ -45,18 +48,25 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
     os.makedirs(seg_dir, exist_ok=True)
 
     for f_idx in range(n_frames):
-        depths, gts = [], []
-        for inst in range(instances):
-            mesh = PRIMITIVES[category]()
+        depths, gts, inst_cls = [], [], []
+        n_inst = len(cats) * instances
+        for inst in range(n_inst):
+            cat = cats[inst % len(cats)]
+            inst_cls.append(SYNSET_NAMES.index(cat))
+            mesh = random_primitive(cat, rng)
+            lo, hi = mesh_bounds(mesh)
+            diag = float(np.linalg.norm(hi - lo))
+            mesh = mesh._replace(vertices=mesh.vertices / diag)  # unit diagonal like training
             lo, hi = mesh_bounds(mesh)
             R, T = random_pose(rng)
             T = T.copy()
             T[2] = -T[2]  # camera frame: object in front at +z after NOCS flips
-            if instances > 1:
+            if n_inst > 1:
                 # spread instances laterally so every one stays visible
-                T[0] += 0.55 * (inst - (instances - 1) / 2)
-                T[2] -= 0.3 * inst
-            scale = float(rng.uniform(0.9, 1.3))
+                T[0] += 0.55 * (inst - (n_inst - 1) / 2)
+                T[2] -= 0.25 * inst
+            # training canonicalisation: unit diagonal x category scale_range
+            scale = float(rng.uniform(*ranges[cat]))
             v_canon = (mesh.vertices - (lo + hi) / 2) * scale
             v_cam_nocs = v_canon @ R.T + T
             # our rasterizer looks down -z with +y up and projects
@@ -79,7 +89,7 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
         composite = np.where(any_hit, stack_inf.min(axis=0), 0.0)
 
         masks, bboxes, keep = [], [], []
-        for inst in range(instances):
+        for inst in range(n_inst):
             mask = any_hit & (nearest == inst)
             if mask.sum() < 300:
                 continue
@@ -108,13 +118,14 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
             gt_RTs.append(gt_RT)
             gt_scales.append(abs_scale / s_norm)
         n = len(keep)
+        cls_ids = np.asarray([inst_cls[i] for i in keep], np.int32)
         result = {
             "image_path": f"data/real/scene_1/{f_idx:04d}",
             "pred_bboxes": np.asarray(bboxes, np.int32),
             "pred_masks": np.stack(masks, -1),
-            "pred_class_ids": np.full(n, cls_id, np.int32),
+            "pred_class_ids": cls_ids,
             "pred_scores": np.ones(n, np.float32),
-            "gt_class_ids": np.full(n, cls_id, np.int32),
+            "gt_class_ids": cls_ids,
             "gt_RTs": np.stack(gt_RTs),
             "gt_scales": np.asarray(gt_scales, np.float32),
             "gt_handle_visibility": np.ones(n, np.int32),
@@ -163,13 +174,14 @@ def main():
     else:
         nocs_inference.main(common + ["--out_dir", pred_dir])
     iou_aps, pose_aps, _, _ = nocs_eval.main(["--pred_dir", pred_dir, "--subsample", "1"])
-    cls = SYNSET_NAMES.index(args.category)
     print("\n=== synthetic benchmark summary ===")
-    print(f"category: {args.category}  frames: {args.n_frames}  instances/frame: {args.instances}")
-    print(f"3D IoU@25: {iou_aps[cls, 25] * 100:.1f}   IoU@50: {iou_aps[cls, 50] * 100:.1f}")
-    for i, deg in enumerate([5, 10, 15]):
-        for j, cm in enumerate([5, 10, 15]):
-            print(f"pose AP {deg}deg {cm}cm: {pose_aps[cls, i, j] * 100:.1f}")
+    print(f"categories: {args.category}  frames: {args.n_frames}  instances/frame: {args.instances}")
+    for cat in args.category.split(","):
+        cls = SYNSET_NAMES.index(cat)
+        print(f"[{cat}] 3D IoU@25: {iou_aps[cls, 25] * 100:.1f}   IoU@50: {iou_aps[cls, 50] * 100:.1f}")
+        for i, deg in enumerate([5, 10, 15]):
+            for j, cm in enumerate([5, 10, 15]):
+                print(f"[{cat}] pose AP {deg}deg {cm}cm: {pose_aps[cls, i, j] * 100:.1f}")
 
 
 if __name__ == "__main__":
