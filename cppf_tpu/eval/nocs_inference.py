@@ -154,7 +154,12 @@ def laptop_up_from_aux(img, depth_mask_idxs, pc, pre, segmenter, rng):
     resize_scale = 224 / (bbox[:, 1] - bbox[:, 0])
     pc_xy = np.stack([rows, cols], -1)
     idxs_resized = np.clip(((pc_xy - bbox[:, 0]) * resize_scale).astype(np.int64), 0, 223)
-    labels = pred[idxs_resized[:, 0], idxs_resized[:, 1]]
+    # map pixel labels onto the voxel-downsampled cloud via the kept-point
+    # indices (the reference's idxs_resized[high_res_indices],
+    # nocs/inference.py:160-164)
+    keep = np.asarray(pre.raw_idx)[: len(pc)]
+    pc_img = idxs_resized[keep]
+    labels = pred[pc_img[:, 0], pc_img[:, 1]]
     base_pts = pc[labels == 0]
     if (labels == 0).sum() < 10:
         return None

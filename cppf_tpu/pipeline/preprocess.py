@@ -24,6 +24,10 @@ class PreprocessedCloud(NamedTuple):
     n_valid: jnp.ndarray   # int32
     valid_mask: jnp.ndarray  # [M] bool
     nbr_idx: jnp.ndarray   # [M, knn] KNN indices (reused by the encoders)
+    raw_idx: jnp.ndarray   # [M] index of each kept point in the RAW input
+                           # cloud (the reference's high_res_indices,
+                           # nocs/inference.py:140; maps points back to the
+                           # depth pixels they came from)
 
 
 @partial(jax.jit, static_argnames=("npoint_pad", "knn", "jitter"))
@@ -60,7 +64,8 @@ def preprocess_cloud(
     nbr_idx = knn_indices(pc, knn, valid)
     normals = estimate_normals(pc, knn, valid, nbr_idx=nbr_idx)
     normals = jnp.where(valid[:, None], normals, 0.0)
-    return PreprocessedCloud(pc, normals, n_keep.astype(jnp.int32), valid, nbr_idx)
+    return PreprocessedCloud(pc, normals, n_keep.astype(jnp.int32), valid, nbr_idx,
+                             take.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("npoint_pad", "knn", "jitter"))

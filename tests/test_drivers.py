@@ -207,3 +207,75 @@ def test_sunrgbd_depth_decode():
     assert dec[0] == 0
     assert dec[1] == 1            # (8>>3)|(8<<13 overflow wraps) = 1
     assert dec.max() <= 8000
+
+
+def test_nocs_laptop_override_chain(tmp_path, rng):
+    """The laptop special case end-to-end: FCN segmenter crop → lid/base
+    labels → RANSAC base plane → laptop_up override inside the NOCS driver
+    (reference nocs/inference.py:144-172, 314-323)."""
+    import cv2
+
+    from cppf_tpu.data.laptop_aux import make_laptop_mesh
+    from cppf_tpu.eval import nocs_inference
+    from cppf_tpu.models.segmenter import FCNResNet50
+    from cppf_tpu.train.checkpoints import save_params
+    import jax.numpy as jnp
+
+    _make_checkpoint(tmp_path, "laptop")
+    # random-init segmenter checkpoint (the override path, not its quality,
+    # is under test)
+    seg = FCNResNet50(num_classes=2)
+    seg_params = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    seg_dir_ckpt = tmp_path / "checkpoints" / "laptop_aux"
+    os.makedirs(seg_dir_ckpt, exist_ok=True)
+    save_params(str(seg_dir_ckpt), seg_params, name="params_best")
+
+    mesh, _ = make_laptop_mesh(open_angle_deg=110.0)
+    T = np.float32([0.0, -0.05, 0.9])
+    v_cam = mesh.vertices * np.float32([1, -1, -1]) + np.float32([T[0], -T[1], -T[2]])
+    K = REAL275_INTRINSICS
+    depth = native.rasterize_depth(v_cam, mesh.faces, K[0, 0], K[1, 1],
+                                   K[0, 2], K[1, 2], 640, 480)
+    mask = depth > 0
+    assert mask.sum() > 500
+    frame_dir = tmp_path / "nocs" / "real" / "scene_1"
+    os.makedirs(frame_dir, exist_ok=True)
+    cv2.imwrite(str(frame_dir / "0000_depth.png"), (depth * 1000).astype(np.uint16))
+    shade = np.zeros((480, 640, 3), np.uint8)
+    shade[mask] = (np.clip(1.0 - depth[mask, None] / 2.0, 0, 1) * 255).astype(np.uint8)
+    cv2.imwrite(str(frame_dir / "0000_color.png"), shade)
+
+    rows, cols = np.where(mask)
+    cls = SYNSET_NAMES.index("laptop")
+    gt_RT = np.eye(4, dtype=np.float32)
+    gt_RT[:3, 3] = T
+    result = {
+        "image_path": "data/real/scene_1/0000",
+        "pred_bboxes": np.array([[rows.min(), cols.min(), rows.max(), cols.max()]], np.int32),
+        "pred_masks": mask[:, :, None],
+        "pred_class_ids": np.array([cls], np.int32),
+        "pred_scores": np.array([1.0], np.float32),
+        "gt_class_ids": np.array([cls], np.int32),
+        "gt_RTs": gt_RT[None],
+        "gt_scales": np.float32([[0.3, 0.2, 0.25]]),
+        "gt_handle_visibility": np.array([1], np.int32),
+    }
+    seg_dir = tmp_path / "seg"
+    os.makedirs(seg_dir, exist_ok=True)
+    with open(seg_dir / "results_real_scene1_0000.pkl", "wb") as f:
+        pickle.dump(result, f)
+
+    out_dir = tmp_path / "pred"
+    nocs_inference.main([
+        "--seg_dir", str(seg_dir), "--nocs_dir", str(tmp_path / "nocs"),
+        "--out_dir", str(out_dir), "--ckpt_path", str(tmp_path / "checkpoints"),
+    ])
+    out_pkls = sorted(os.listdir(out_dir))
+    assert out_pkls
+    with open(out_dir / out_pkls[0], "rb") as f:
+        res = pickle.load(f)
+    assert np.isfinite(res["pred_RTs"]).all()
+    assert not np.allclose(res["pred_RTs"][0], np.eye(4))
+    R = res["pred_RTs"][0][:3, :3]
+    s = np.linalg.norm(R[:, 0])
+    np.testing.assert_allclose(R.T @ R / s**2, np.eye(3), atol=1e-4)
