@@ -117,10 +117,14 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
     state = init_train_state(jax.random.PRNGKey(0), cfg, cfg.npoint_pad)
     start_epoch = 0
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
-    if resume and os.path.isdir(os.path.join(out_dir, "best")):
+    resume_name = next((n for n in ("last", "best")
+                        if os.path.isdir(os.path.join(out_dir, n))), None)
+    if resume and resume_name:
         # full resume (params + optimizer state + step) — the reference can
-        # only reload weights (SURVEY §5: save-only checkpoints)
-        state = checkpoints.load_train_state(out_dir, state, name="best")
+        # only reload weights (SURVEY §5: save-only checkpoints).  "last" is
+        # written every epoch so interrupted runs resume where they stopped;
+        # "best" is the best-loss state (what inference loads via params_best)
+        state = checkpoints.load_train_state(out_dir, state, name=resume_name)
         start_epoch = int(state.step) // max(1, len(ds) // cfg.batch_size)
         log.info("resumed from %s at step %d (epoch %d)", out_dir, int(state.step), start_epoch)
     elif resume and os.path.isdir(os.path.join(out_dir, "params_best")):
@@ -167,6 +171,7 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
         )
         if epoch % 20 == 0:
             checkpoints.save_train_state(out_dir, state, name=f"epoch{epoch}")
+        checkpoints.save_train_state(out_dir, state, name="last")
         if avg["loss"] < best_loss:
             best_loss = avg["loss"]
             checkpoints.save_train_state(out_dir, state, name="best")
