@@ -23,7 +23,8 @@ run_item $T category=bed       max_epoch=200 out_dir=checkpoints/bed
 run_item $T category=sofa      max_epoch=200 out_dir=checkpoints/sofa
 run_item $T category=bookshelf max_epoch=200 out_dir=checkpoints/bookshelf
 run_item $T category=bathtub   max_epoch=200 out_dir=checkpoints/bathtub
-# laptop-aux segmenter to the full reference budget (20 ep x 200 steps x bs16,
-# reference config/laptop_aux.yaml; round-1 run was a CPU smoke budget)
-run_item python -m cppf_tpu.train.laptop_aux max_epoch=20 batch_size=16 out_dir=checkpoints/laptop_aux
+# laptop-aux segmenter to the full reference budget: 20 epochs over all 458
+# laptop models at bs16 (reference config/laptop_aux.yaml + dataset __len__ =
+# len(model_names), utils/dataset.py:277-278); round-1 run was a CPU smoke budget
+run_item python -m cppf_tpu.train.laptop_aux max_epoch=20 batch_size=16 epoch_len=458 out_dir=checkpoints/laptop_aux
 echo QUEUE2_DONE

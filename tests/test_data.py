@@ -94,6 +94,38 @@ def test_random_primitive_families(category):
     assert np.ptp(diags, axis=0).max() > 0.005
 
 
+def _write_obj(path, mesh):
+    lines = [f"v {x} {y} {z}" for x, y, z in mesh.vertices]
+    lines += [f"f {a + 1} {b + 1} {c + 1}" for a, b, c in mesh.faces]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_shapenet_dataset_real_obj_root(tmp_path):
+    """The real-ShapeNet branch: model discovery under ``shapenet_root``, OBJ
+    loading and depth rendering (reference utils/dataset.py:103-213; the
+    primitive fallback is bypassed entirely)."""
+    from cppf_tpu.data.shapenet import TYPENAME2SHAPENETID
+
+    sid = TYPENAME2SHAPENETID["table"]
+    mesh = make_box((0.8, 0.5, 0.6))  # model_normalized-style unit-ish mesh
+    for name in ("aaa1", "bbb2"):
+        _write_obj(str(tmp_path / sid / name / "models" / "model_normalized.obj"), mesh)
+
+    cfg = load_config("table", {"shapenet_root": str(tmp_path)})
+    ds = ShapeNetRenderDataset(cfg, seed=0)
+    # discovery found exactly the two fake models (sorted), not primitives
+    assert ds.model_names == [f"{sid}/aaa1", f"{sid}/bbb2"]
+    s = ds.sample()
+    assert s.pc.shape[0] >= 100
+    # canonical-frame cloud of a centred box: every point within the scaled
+    # half-extent envelope (+ raster quantisation)
+    half = np.float32([0.4, 0.25, 0.3]) * s.scale
+    assert np.all(np.abs(s.pc) <= half + 0.01)
+    assert cfg.scale_range[0] <= s.scale <= cfg.scale_range[1]
+
+
 def test_shapenet_dataset_primitive_fallback():
     """Without a ShapeNet root the dataset renders built-in primitives and
     produces canonical-frame clouds centred at the origin."""
