@@ -62,7 +62,7 @@ def _hat_rows(f, r, w, rows: int, lo, pool: int, splat: str):
 
 
 def _bound_kernel(fx_r, fy_r, fz_r, rx_r, ry_r, rz_r, w_r, out_ref, *,
-                  gx, gy, by_n, bz_n, pfy, pfz, rows_p, cols_p, splat):
+                  gx, gy, by_n, bz_n, pfy, pfz, rows_p, cols_p, splat, mxu_dtype):
     fx = fx_r[:].reshape(1, -1)
     fy = fy_r[:].reshape(1, -1)
     fz = fz_r[:].reshape(1, -1)
@@ -83,7 +83,8 @@ def _bound_kernel(fx_r, fy_r, fz_r, rx_r, ry_r, rz_r, w_r, out_ref, *,
     cols = jnp.concatenate([cy, cz], axis=0)
     cols = jnp.pad(cols, ((0, cols_p - by_n - bz_n), (0, 0)))
 
-    m = jax.lax.dot_general(rows, cols, (((1,), (1,)), ((), ())),
+    m = jax.lax.dot_general(rows.astype(mxu_dtype), cols.astype(mxu_dtype),
+                            (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(0) == 0)
@@ -94,15 +95,21 @@ def _bound_kernel(fx_r, fy_r, fz_r, rx_r, ry_r, rz_r, w_r, out_ref, *,
 
 
 @partial(jax.jit, static_argnames=("gx", "gy", "by_n", "bz_n", "pfy", "pfz",
-                                   "splat", "chunk", "interpret"))
+                                   "splat", "chunk", "interpret", "mxu_dtype"))
 def bound_projections(fx, fy, fz, rx, ry, rz, w, *, gx: int, gy: int,
                       by_n: int, bz_n: int, pfy: int, pfz: int,
                       splat: str = "trilinear", chunk: int = 8192,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      mxu_dtype: str = "float32"):
     """Projections (Mxy [gx,by_n], Mxz [gx,bz_n], Myz [gy,bz_n]) of the vote
     splat, y columns pooled by ``pfy`` and z by ``pfz``.  Inputs are flat [V]
     vote vectors (V a multiple of ``chunk``; padding votes must carry w=0,
     floors clipped to [0, g-2] as _vote_coords guarantees).
+
+    ``mxu_dtype="bfloat16"`` feeds the MXU bf16 one-hot operands (f32
+    accumulation) — ~4x the f32 matmul rate on v5e.  Entries then carry a
+    relative error ≤ ~2^-7 from operand rounding; callers using the result
+    as an upper bound must inflate it accordingly (see ppf_vote_peak).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -113,7 +120,8 @@ def bound_projections(fx, fy, fz, rx, ry, rz, w, *, gx: int, gy: int,
     spec = pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_bound_kernel, gx=gx, gy=gy, by_n=by_n, bz_n=bz_n, pfy=pfy,
-                pfz=pfz, rows_p=rows_p, cols_p=cols_p, splat=splat),
+                pfz=pfz, rows_p=rows_p, cols_p=cols_p, splat=splat,
+                mxu_dtype=jnp.dtype(mxu_dtype)),
         grid=(v // chunk,),
         in_specs=[spec] * 7,
         out_specs=pl.BlockSpec((rows_p, cols_p), lambda i: (0, 0),

@@ -252,7 +252,7 @@ def _maxpool2d(m: jnp.ndarray, fa: int, fb: int | None = None) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("grid_shape", "n_rots", "adaptive", "vchunk",
                                    "splat", "window", "coarse_factor", "max_rounds",
-                                   "use_pallas"))
+                                   "use_pallas", "bound_dtype"))
 def ppf_vote_peak(
     pc: jnp.ndarray,
     preds_tr: jnp.ndarray,
@@ -271,6 +271,7 @@ def ppf_vote_peak(
     coarse_factor: int = 8,
     max_rounds: int = 0,
     use_pallas: bool | None = None,
+    bound_dtype: str | None = None,
 ):
     """Argmax/max of the :func:`ppf_vote` grid WITHOUT building the grid.
 
@@ -313,11 +314,22 @@ def ppf_vote_peak(
     matrices in VMEM instead of HBM; ``None`` resolves to True on TPU.
     The two paths are equal up to f32 summation order.
 
+    ``bound_dtype`` is the MXU operand dtype of the **bound pass only**
+    (``None`` → bfloat16 on TPU, float32 elsewhere).  bf16 runs the
+    dominant matmul ~4x faster on v5e; the resulting bounds carry a
+    relative operand-rounding error ≤ ~2^-7, so they are inflated by
+    (1 + 2^-6) to stay admissible upper bounds — the refine pass stays
+    f32 and the returned peak is exactly the f32 grid argmax either way
+    (a loose bound can only add refine rounds, never miss the peak).
+
     Returns (idx [3] int32 — voxel coords of the peak, peak value f32).
     """
     assert window % coarse_factor == 0 and window >= coarse_factor
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if bound_dtype is None:
+        bound_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    mxu_dt = jnp.dtype(bound_dtype)
     gx, gy, gz = grid_shape
     f8 = coarse_factor
     cdims = tuple(-(-g // f8) for g in grid_shape)
@@ -376,15 +388,17 @@ def ppf_vote_peak(
 
         mxy, mxz, myz = bound_projections(
             fx, fy, fz, rx, ry, rz, wf, gx=gx, gy=gy, by_n=by_n, bz_n=bz_n,
-            pfy=pfy, pfz=pfz, splat=splat, chunk=4096,
+            pfy=pfy, pfz=pfz, splat=splat, chunk=4096, mxu_dtype=bound_dtype,
         )
     else:
         def bound_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
-            rxw = axis_fn(cfx[None, :], crx[None, :], row_x, 0) * cw[None, :]
+            rxw = (axis_fn(cfx[None, :], crx[None, :], row_x, 0)
+                   * cw[None, :]).astype(mxu_dt)
             ay = pool_y(cfy[:, None], cry[:, None], col_y)
-            az = pool_z(cfz[:, None], crz[:, None], col_z)
-            cols = jnp.concatenate([ay, az], axis=1)
-            ryw = axis_fn(cfy[None, :], cry[None, :], row_y, 0) * cw[None, :]
+            az = pool_z(cfz[:, None], crz[:, None], col_z).astype(mxu_dt)
+            cols = jnp.concatenate([ay.astype(mxu_dt), az], axis=1)
+            ryw = (axis_fn(cfy[None, :], cry[None, :], row_y, 0)
+                   * cw[None, :]).astype(mxu_dt)
             accx, accy = acc
             accx = accx + jnp.dot(rxw, cols, preferred_element_type=jnp.float32)
             accy = accy + jnp.dot(ryw, az, preferred_element_type=jnp.float32)
@@ -400,6 +414,11 @@ def ppf_vote_peak(
                     _maxpool2d(mxz, f8, f8 // pfz)[:, None, :]),
         _maxpool2d(myz, f8, f8 // pfz)[None, :, :],
     )
+    if mxu_dt != jnp.float32:
+        # keep reduced-precision bounds admissible: operand rounding is
+        # relative (≤ ~2^-7 for two bf16 factors), so a multiplicative
+        # inflation covers it (bounds are sums of non-negative terms)
+        bound = bound * jnp.float32(1.0 + 2.0 ** -6)
 
     # ---- refine loop --------------------------------------------------------
     row_w = jnp.arange(w8, dtype=jnp.int32)[:, None]

@@ -143,6 +143,25 @@ def test_ppf_vote_peak_multi_round(rng):
     np.testing.assert_allclose(grid[tuple(np.asarray(idx))], grid.max(), rtol=2e-5)
 
 
+@pytest.mark.parametrize("splat", ["trilinear", "nearest"])
+def test_ppf_vote_peak_bf16_bounds_exact(rng, splat):
+    """With bfloat16 bound-pass operands (the TPU production dtype) the
+    returned peak is still the exact f32 grid argmax: bounds are inflated to
+    stay admissible, and the refine pass stays f32."""
+    pc, idxs, corner, res, dims, preds_tr, _ = _instance(rng, n=120, p=2048)
+    gshape = (int(dims[0]) + 3, int(dims[1]) + 2, int(dims[2]) + 5)
+    args = (jnp.array(pc), jnp.array(preds_tr), jnp.ones(pc.shape[0]),
+            jnp.array(idxs), jnp.array(corner), res, jnp.array(dims))
+    grid = np.asarray(ppf_vote(*args, gshape, n_rots=24, chunk=256, splat=splat))
+    for use_pallas in (False, True):  # XLA fallback + (interpret-mode) Pallas
+        idx, val = ppf_vote_peak(*args, gshape, n_rots=24, vchunk=8192,
+                                 splat=splat, use_pallas=use_pallas,
+                                 bound_dtype="bfloat16")
+        np.testing.assert_allclose(float(val), grid.max(), rtol=2e-5)
+        np.testing.assert_allclose(grid[tuple(np.asarray(idx))], grid.max(),
+                                   rtol=2e-5)
+
+
 def test_backvote_matches_oracle(rng):
     pc, idxs, corner, res, dims, preds_tr, center = _instance(rng)
     tol = 3 * res
