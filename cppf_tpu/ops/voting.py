@@ -58,23 +58,6 @@ def pair_frames(pc: jnp.ndarray, point_idxs: jnp.ndarray):
     return a, ab_unit, degenerate, co_unit
 
 
-def _circle_points(a, ab_unit, co_unit, proj_len, odist, n_rots: int, m):
-    """Candidate centers [P, R, 3] plus offsets and a per-sample validity mask.
-
-    ``m`` is the per-pair number of swept rotations (adaptive count); sample i
-    uses angle i·2π/m and is valid iff i < m.
-    """
-    c = a - ab_unit * proj_len[..., None]
-    x = co_unit * odist[..., None]
-    y = jnp.cross(x, ab_unit)
-    i = jnp.arange(n_rots, dtype=a.dtype)
-    angle = i[None, :] * (TWO_PI / jnp.maximum(m, 1).astype(a.dtype))[:, None]
-    rot_valid = i[None, :] < m[:, None]
-    offset = jnp.cos(angle)[..., None] * x[:, None, :] + jnp.sin(angle)[..., None] * y[:, None, :]
-    centers = c[:, None, :] + offset
-    return centers, offset, rot_valid
-
-
 def _adaptive_rots(odist, res, n_rots: int, adaptive: bool):
     if adaptive:
         return jnp.minimum((odist / res * TWO_PI).astype(jnp.int32), n_rots)
@@ -521,14 +504,33 @@ def backvote(
         a, ab_unit, degenerate, co_unit = pair_frames(pc, idxs)
         proj_len, odist = tr[:, 0], tr[:, 1]
         m = _adaptive_rots(odist, res, n_rots, adaptive=True)
-        centers, offsets, rot_valid = _circle_points(a, ab_unit, co_unit, proj_len, odist, n_rots, m)
-        g = (centers - corner) / res
-        in_bounds = jnp.all(jnp.logical_and(g >= 0.0, g < dims_f - 1.0), axis=-1)
-        near = jnp.linalg.norm(centers - pred_center, axis=-1) <= tol
-        hit = rot_valid & in_bounds & near & (~degenerate)[:, None]   # [C, R]
+        # componentwise [C, R] circle sweep — never materialising [C, R, 3]
+        # (see _vote_coords for why tiny trailing dims are poison on TPU)
+        c = a - ab_unit * proj_len[:, None]
+        y_unit = jnp.cross(co_unit, ab_unit)
+        i = jnp.arange(n_rots, dtype=pc.dtype)
+        angle = i[None, :] * (TWO_PI / jnp.maximum(m, 1).astype(pc.dtype))[:, None]
+        rot_valid = i[None, :] < m[:, None]
+        cos_a, sin_a = jnp.cos(angle), jnp.sin(angle)
+
+        in_bounds = rot_valid & (~degenerate)[:, None]
+        dist2 = jnp.zeros(angle.shape, pc.dtype)
+        offs = []
+        for k in range(3):
+            off_k = (cos_a * (co_unit[:, k] * odist)[:, None]
+                     + sin_a * (y_unit[:, k] * odist)[:, None])      # [C, R]
+            center_k = c[:, k, None] + off_k
+            gk = (center_k - corner[k]) / res
+            in_bounds = in_bounds & (gk >= 0.0) & (gk < dims_f[k] - 1.0)
+            d = center_k - pred_center[k]
+            dist2 = dist2 + d * d
+            offs.append(off_k)
+        hit = in_bounds & (dist2 <= tol * tol)                        # [C, R]
         any_hit = jnp.any(hit, -1)
         first = jnp.argmax(hit, -1)
-        off = -jnp.take_along_axis(offsets, first[:, None, None], 1)[:, 0, :]
+        off = -jnp.stack(
+            [jnp.take_along_axis(o, first[:, None], 1)[:, 0] for o in offs], -1
+        )
         off = jnp.where(any_hit[:, None], off, 0.0)
         return off, any_hit
 
