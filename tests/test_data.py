@@ -94,6 +94,24 @@ def test_random_primitive_families(category):
     assert np.ptp(diags, axis=0).max() > 0.005
 
 
+def test_compute_stats_box_analytic():
+    """Stats semantics pinned to the reference (gen_stats.py:29-57): diagonal
+    scale_range, max |proj_len| / dist2o vote_range, mean-of-max scale_mean —
+    all analytic for a centred box."""
+    from cppf_tpu.data.stats import compute_stats
+
+    ext = np.array([0.2, 0.1, 0.3], np.float32)
+    stats = compute_stats([make_box(tuple(ext))], n_points=1024, n_pairs=20000)
+    diag = float(np.linalg.norm(ext))
+    assert abs(stats["scale_range"][0] - diag) < 1e-5
+    assert abs(stats["scale_range"][1] - diag) < 1e-5
+    # surface samples of a centred box: max coordinate per axis = half extent
+    np.testing.assert_allclose(stats["scale_mean"], ext / 2, atol=0.02)
+    # |proj_len| = |a·d̂| ≤ |a| ≤ diag/2; dist2o ≤ diag/2; both > 0
+    assert 0 < stats["vote_range"][0] <= diag / 2 + 1e-5
+    assert 0 < stats["vote_range"][1] <= diag / 2 + 1e-5
+
+
 def _write_obj(path, mesh):
     lines = [f"v {x} {y} {z}" for x, y, z in mesh.vertices]
     lines += [f"f {a + 1} {b + 1} {c + 1}" for a, b, c in mesh.faces]
