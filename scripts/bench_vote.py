@@ -56,10 +56,13 @@ def main():
         ms, grid = timeit(ppf_vote, *args, GRID, n_rots=R, splat=splat, n=5)
         am = np.asarray(grid_argmax(grid, jnp.array(corner), RES))
         print(f"scatter/{splat:9s}: {ms:7.1f} ms  argmax={am}", file=sys.stderr)
-        ms, (idx, val) = timeit(ppf_vote_peak, *args, GRID, n_rots=R, splat=splat, n=5)
-        pk = corner + np.asarray(idx) * RES
-        print(f"hier   /{splat:9s}: {ms:7.1f} ms  peak ={pk}  val={float(val):.1f} "
-              f"(grid max {float(grid.max()):.1f})", file=sys.stderr)
+        for dt in ("float32", "bfloat16"):
+            ms, (idx, val) = timeit(ppf_vote_peak, *args, GRID, n_rots=R,
+                                    splat=splat, bound_dtype=dt, n=5)
+            pk = corner + np.asarray(idx) * RES
+            print(f"hier   /{splat:9s}/{dt:8s}: {ms:7.1f} ms  peak ={pk}  "
+                  f"val={float(val):.1f} (grid max {float(grid.max()):.1f})",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

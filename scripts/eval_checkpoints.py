@@ -47,7 +47,7 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
     # place the object far enough that it fits the frustum
     mean_scale = float(np.linalg.norm(runner.cfg.scale_mean)) * 2
 
-    t_errs, up_errs, s_errs = [], [], []
+    t_errs, up_errs, right_errs, s_errs = [], [], [], []
     attempts = 0
     while len(t_errs) < n_poses and attempts < n_poses * 3:
         attempts += 1
@@ -80,15 +80,27 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
         up_true = R[:, 1]
         cos_signed = float(np.dot(up_est, up_true))
         up_errs.append(float(np.degrees(np.arccos(np.clip(cos_signed, -1, 1)))))
+        if runner.cfg.regress_right:
+            # canonical right axis is +x (or +z under z_right); right_sym
+            # categories fold the sign ambiguity like the training targets
+            right_true = R[:, 2] if runner.cfg.z_right else R[:, 0]
+            right_est = np.asarray(out.right)
+            cr = float(np.dot(right_est, right_true))
+            if runner.cfg.right_sym:
+                cr = abs(cr)
+            right_errs.append(float(np.degrees(np.arccos(np.clip(cr, -1, 1)))))
         bound = (hi - lo) / diag * scale
         s_errs.append(float(abs(np.linalg.norm(s_est) - np.linalg.norm(bound))
                             / np.linalg.norm(bound)))
-    return {
+    out = {
         "t_err_mm_median": round(float(np.median(t_errs)) * 1000, 1),
         "up_err_deg_median": round(float(np.median(up_errs)), 1),
         "scale_err_pct_median": round(float(np.median(s_errs)) * 100, 1),
         "n_poses": len(t_errs),
     }
+    if right_errs:
+        out["right_err_deg_median"] = round(float(np.median(right_errs)), 1)
+    return out
 
 
 def main():
@@ -109,9 +121,11 @@ def main():
             print(f"{c}: no checkpoint ({e})")
             continue
         results[c] = r
+        right = (f"   right err {r['right_err_deg_median']:5.1f} deg"
+                 if "right_err_deg_median" in r else "")
         print(f"{c:10s} median T err {r['t_err_mm_median']:7.1f} mm   "
               f"up err {r['up_err_deg_median']:5.1f} deg   "
-              f"scale err {r['scale_err_pct_median']:5.1f} %")
+              f"scale err {r['scale_err_pct_median']:5.1f} %{right}")
     print(json.dumps(results))
 
 
