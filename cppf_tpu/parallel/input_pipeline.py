@@ -20,12 +20,29 @@ def host_shard(items: Sequence, process_index: int | None = None,
     return list(items[pi::pc])
 
 
+def shard_dataset(dataset, seed: int = 0, process_index: int | None = None,
+                  process_count: int | None = None):
+    """Partition a render dataset across pod hosts, in place: each process
+    gets a disjoint shard of the model list and a decorrelated RNG (DCN
+    never carries arrays — only the sample stream is split).  Identity on a
+    single host.  ``cppf_tpu.train.loop.train`` applies this automatically.
+    """
+    import numpy as np
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc <= 1:
+        return dataset
+    if getattr(dataset, "model_names", None):
+        dataset.model_names = host_shard(dataset.model_names, pi, pc)
+    dataset.rng = np.random.default_rng(seed * 1000003 + pi)
+    return dataset
+
+
 def sharded_sample_stream(dataset, seed: int = 0) -> Iterator:
     """Per-host independent sample stream: fold the process index into the
     dataset RNG so hosts render disjoint random poses."""
-    import numpy as np
-
-    dataset.rng = np.random.default_rng(seed * 1000003 + jax.process_index())
+    shard_dataset(dataset, seed)
     while True:
         yield dataset.sample()
 

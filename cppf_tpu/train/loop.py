@@ -110,6 +110,12 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
     cfg.save(os.path.join(out_dir, "config.yaml"))  # snapshot for inference
 
     ds = dataset or ShapeNetRenderDataset(cfg, seed=0)
+    if dataset is None:
+        # multi-host pod: disjoint model shard + decorrelated RNG per process
+        # (identity on one host; SURVEY §7 step 8)
+        from cppf_tpu.parallel.input_pipeline import shard_dataset
+
+        shard_dataset(ds)
     if epoch_len is not None:
         ds.epoch_len = epoch_len
     statics = TrainStatics.from_config(cfg)

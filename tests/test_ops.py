@@ -119,6 +119,30 @@ def test_host_shard():
     assert all(len(s) >= 3 for s in shards)
 
 
+def test_shard_dataset_two_hosts():
+    """Two fake pod hosts get disjoint model shards and decorrelated sample
+    streams; a single host is untouched."""
+    from cppf_tpu.config import load_config
+    from cppf_tpu.data.shapenet import ShapeNetRenderDataset
+    from cppf_tpu.parallel.input_pipeline import shard_dataset
+
+    cfg = load_config("bowl")
+    names = [f"m/{i}" for i in range(7)]
+    mk = lambda: ShapeNetRenderDataset(cfg, model_names=list(names), seed=0)
+
+    d0 = shard_dataset(mk(), process_index=0, process_count=2)
+    d1 = shard_dataset(mk(), process_index=1, process_count=2)
+    assert sorted(d0.model_names + d1.model_names) == sorted(names)
+    assert not set(d0.model_names) & set(d1.model_names)
+    # decorrelated RNG streams
+    assert d0.rng.integers(0, 1 << 30) != d1.rng.integers(0, 1 << 30)
+    # single host: identity (names and rng untouched)
+    ds = mk()
+    rng_before = ds.rng
+    shard_dataset(ds, process_index=0, process_count=1)
+    assert ds.model_names == names and ds.rng is rng_before
+
+
 def test_viz_draw_box():
     import numpy as np
 
