@@ -588,6 +588,59 @@ def rot_vote(
     return out.reshape(-1, n_rots, 3)[:p]
 
 
+@partial(jax.jit, static_argnames=("n_rots", "chunk"))
+def rot_vote_sphere_count(
+    pc: jnp.ndarray,
+    preds_rot: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    sphere_pts: jnp.ndarray,
+    cos_tol,
+    n_rots: int = 72,
+    chunk: int = 1024,
+) -> jnp.ndarray:
+    """Fused :func:`rot_vote` → :func:`sphere_bin_count`.
+
+    Semantically ``sphere_bin_count(rot_vote(...).reshape(-1, 3), ...)``
+    (reference models/voting.py:115-148 + nocs/inference.py:276-284), but the
+    candidate axes are kept componentwise [C, R] per chunk and consumed
+    immediately — the dense [P, n_rots, 3] tensor (tile-padded ~42x on TPU)
+    never exists.  Degenerate pairs contribute zero counts, matching the
+    zero axes rot_vote emits for them (cos 0 < cos_tol).
+    """
+    p = point_idxs.shape[0]
+    n_chunks = (p + chunk - 1) // chunk
+    pad = n_chunks * chunk - p
+    idxs_p = jnp.pad(point_idxs, ((0, pad), (0, 0)))
+    rot_p = jnp.pad(preds_rot, (0, pad))
+    pair_ok = jnp.pad(jnp.ones((p,), bool), (0, pad))
+    s0, s1, s2 = (sphere_pts[:, k].astype(jnp.float32) for k in range(3))
+    i = jnp.arange(n_rots, dtype=pc.dtype)
+    cos_a, sin_a = jnp.cos(i * (TWO_PI / n_rots)), jnp.sin(i * (TWO_PI / n_rots))
+
+    def body(k, counts):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, k * chunk, chunk)
+        idxs, rot, ok = sl(idxs_p), sl(rot_p), sl(pair_ok)
+        a, ab_unit, degenerate, co_unit = pair_frames(pc, idxs)
+        y_unit = jnp.cross(co_unit, ab_unit)
+        t = jnp.tan(rot)
+        sign = jnp.where(t > 0, 1.0, -1.0)
+        comps = []
+        for k3 in range(3):
+            u = (t[:, None] * (cos_a[None, :] * co_unit[:, k3, None]
+                               + sin_a[None, :] * y_unit[:, k3, None])
+                 + (sign * ab_unit[:, k3])[:, None])              # [C, R]
+            comps.append(u)
+        norm = jnp.sqrt(comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2) + 1e-7
+        w = (ok & ~degenerate)[:, None] & jnp.ones_like(norm, bool)
+        ux, uy, uz = (jnp.where(w, c / norm, 0.0).reshape(-1) for c in comps)
+        cos = (ux[:, None] * s0[None, :] + uy[:, None] * s1[None, :]
+               + uz[:, None] * s2[None, :])                        # [C·R, S]
+        return counts + jnp.sum((cos > cos_tol).astype(jnp.float32), 0)
+
+    counts = jnp.zeros((sphere_pts.shape[0],), jnp.float32)
+    return lax.fori_loop(0, n_chunks, body, counts)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def sphere_bin_count(
     candidates: jnp.ndarray,

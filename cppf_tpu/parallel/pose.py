@@ -99,18 +99,19 @@ def _vote_axis_sharded(mesh, rng, pc, pc_normal, point_idxs, pair_mask,
                        angle_logits, aux_logits, sphere_pts, pcfg):
     """Sharded twin of pipeline.pose._vote_axis (same rng draw order)."""
     rng_bin, rng_sub = jax.random.split(rng)
-    bin_idx = jax.random.categorical(rng_bin, angle_logits, axis=-1)
-    angles = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
-
     p = point_idxs.shape[0]
     any_alive = jnp.any(pair_mask)
     keep = (pair_mask | ~any_alive).astype(jnp.float32)
     cdf = jnp.cumsum(keep)
     u = jax.random.uniform(rng_sub, (pcfg.rot_subsample,)) * cdf[-1]
     sub = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, p - 1)
+    # decode only the subsampled pairs' angle bins (same draw order as the
+    # single-device _vote_axis)
+    bin_idx = jax.random.categorical(rng_bin, angle_logits[sub], axis=-1)
+    angles_sub = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
 
     cos_tol = jnp.cos(jnp.deg2rad(pcfg.angle_prec))
-    counts = sharded_sphere_histogram(mesh, pc, angles[sub], point_idxs[sub],
+    counts = sharded_sphere_histogram(mesh, pc, angles_sub, point_idxs[sub],
                                       sphere_pts, cos_tol, n_rots=pcfg.num_rots)
     best_dir = sphere_pts[jnp.argmax(counts)]
 

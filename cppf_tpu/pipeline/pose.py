@@ -31,6 +31,7 @@ from cppf_tpu.ops.voting import (
     ppf_vote,
     ppf_vote_peak,
     rot_vote,
+    rot_vote_sphere_count,
     sphere_bin_count,
 )
 
@@ -148,10 +149,6 @@ def _vote_axis(
     """One orientation axis: rot-vote → sphere binning → aux sign flip
     (reference nocs/inference.py:258-303)."""
     rng_bin, rng_sub = jax.random.split(rng)
-    # multinomial bin decode → angle in [0, π] (reference nocs/inference.py:250-252)
-    bin_idx = jax.random.categorical(rng_bin, angle_logits, axis=-1)
-    angles = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
-
     # subsample `rot_subsample` surviving pairs (reference nocs/inference.py:277-279);
     # if the back-vote filter killed everything, fall back to all pairs.
     # Uniform-over-mask sampling via inverse CDF (cumsum + searchsorted):
@@ -164,15 +161,21 @@ def _vote_axis(
     u = jax.random.uniform(rng_sub, (pcfg.rot_subsample,)) * cdf[-1]
     sub = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, p - 1)
     sub_idxs = point_idxs[sub]
-    cands = rot_vote(pc, angles[sub], sub_idxs, n_rots=pcfg.num_rots)
-
+    # multinomial bin decode → angle in [0, π] (reference nocs/inference.py:250-252),
+    # drawn only for the subsampled pairs (same distribution, 10x less Gumbel)
+    bin_idx = jax.random.categorical(rng_bin, angle_logits[sub], axis=-1)
+    angles_sub = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
     cos_tol = jnp.cos(jnp.deg2rad(pcfg.angle_prec))
     if pcfg.pallas_sphere:
         from cppf_tpu.ops.pallas.sphere_count import sphere_bin_count_pallas
 
+        cands = rot_vote(pc, angles_sub, sub_idxs, n_rots=pcfg.num_rots)
         counts = sphere_bin_count_pallas(cands.reshape(-1, 3), sphere_pts, cos_tol)
     else:
-        counts = sphere_bin_count(cands.reshape(-1, 3), sphere_pts, cos_tol)
+        # fused: candidate axes stay componentwise, the [P, R, 3] tensor
+        # (tile-padded ~42x) never reaches HBM
+        counts = rot_vote_sphere_count(pc, angles_sub, sub_idxs, sphere_pts,
+                                       cos_tol, n_rots=pcfg.num_rots)
     best_dir = sphere_pts[jnp.argmax(counts)]
 
     # aux disambiguation over *all* surviving pairs (reference :286-302)

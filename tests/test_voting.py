@@ -200,6 +200,28 @@ def test_rot_vote_recovers_axis(rng):
     assert min(np.linalg.norm(best - true_up), np.linalg.norm(best + true_up)) < 0.12
 
 
+def test_rot_vote_sphere_count_matches_unfused(rng):
+    """The fused componentwise op equals sphere_bin_count(rot_vote(...))
+    (up to fp-boundary ties in the cos > tol compare)."""
+    from cppf_tpu.ops.voting import rot_vote_sphere_count
+
+    pc, idxs, *_ = _instance(rng, n=80, p=600)
+    preds_rot = rng.uniform(0, np.pi, 600).astype(np.float32)
+    sphere = fibonacci_sphere(480).astype(np.float32)
+    tol = np.cos(np.deg2rad(1.5))
+    cands = np.asarray(rot_vote(jnp.array(pc), jnp.array(preds_rot),
+                                jnp.array(idxs), n_rots=24, chunk=128))
+    dense = np.asarray(sphere_bin_count(jnp.array(cands.reshape(-1, 3)),
+                                        jnp.array(sphere), tol, chunk=2048))
+    fused = np.asarray(rot_vote_sphere_count(
+        jnp.array(pc), jnp.array(preds_rot), jnp.array(idxs),
+        jnp.array(sphere), tol, n_rots=24, chunk=256))
+    # identical counts except possibly votes landing exactly on the cos_tol
+    # boundary (different summation order in the dot product)
+    assert np.abs(fused - dense).max() <= 1
+    assert np.argmax(fused) == np.argmax(dense)
+
+
 def test_sphere_bin_count_matches_dense(rng):
     cands = rng.normal(size=(500, 3)).astype(np.float32)
     cands /= np.linalg.norm(cands, axis=-1, keepdims=True)
