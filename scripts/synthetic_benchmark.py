@@ -27,7 +27,7 @@ from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS, SYNSET_NAMES
 
 
 def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
-                instances: int = 1):
+                instances: int = 1, clutter: int = 0):
     """NOCS-format frames (depth png + detection pkl) of posed primitives.
 
     ``category`` may be a comma-separated list (e.g. "bowl,mug,bottle") —
@@ -35,6 +35,11 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
     EACH category (z-buffer composited, per-instance visibility masks), the
     multi-class workload of the real NOCS scenes.  Shapes are drawn from the
     parameter-randomised primitive families, like training.
+
+    ``clutter`` adds that many distractor objects per frame: they occlude
+    the depth composite (and thus eat into instance visibility masks) but
+    appear in neither the detections nor the GT — the occlusion/partial-mask
+    regime of real scenes.
     """
     import cv2
 
@@ -81,8 +86,27 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
             depths.append(depth)
             gts.append((R, T, bound * scale))
 
-        # z-buffer composite: each pixel belongs to the nearest instance
-        stack = np.stack(depths)                      # [I, H, W]
+        # distractor clutter: occludes, but is absent from GT + detections
+        for _ in range(clutter):
+            cat = cats[int(rng.integers(len(cats)))]
+            mesh = random_primitive(cat, rng)
+            lo, hi = mesh_bounds(mesh)
+            mesh = mesh._replace(vertices=mesh.vertices / float(np.linalg.norm(hi - lo)))
+            lo, hi = mesh_bounds(mesh)
+            Rc, Tc = random_pose(rng)
+            Tc = Tc.copy()
+            Tc[2] = -Tc[2]
+            Tc[0] += rng.uniform(-0.5, 0.5)
+            Tc[2] -= rng.uniform(0.0, 0.3)
+            scale = float(rng.uniform(*ranges[cat]))
+            v = (mesh.vertices - (lo + hi) / 2) * scale @ Rc.T + Tc
+            depths.append(native.rasterize_depth(
+                v * np.float32([1, -1, -1]), mesh.faces, K[0, 0], K[1, 1],
+                K[0, 2], K[1, 2], 640, 480))
+
+        # z-buffer composite: each pixel belongs to the nearest object
+        # (instances first, clutter after — masks below only index instances)
+        stack = np.stack(depths)                      # [I+C, H, W]
         stack_inf = np.where(stack > 0, stack, np.inf)
         nearest = np.argmin(stack_inf, axis=0)
         any_hit = np.isfinite(stack_inf.min(axis=0))
@@ -144,6 +168,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--instances", type=int, default=1,
                     help="instances per frame (>1 exercises the batched driver)")
+    ap.add_argument("--clutter", type=int, default=0,
+                    help="distractor objects per frame (occlude; absent from GT/detections)")
     ap.add_argument("--time_serial", action="store_true",
                     help="also time the reference-style serial driver and report speedup")
     args = ap.parse_args()
@@ -153,7 +179,8 @@ def main():
     from cppf_tpu.eval import nocs_eval, nocs_inference
 
     seg_dir, nocs_dir = make_frames(args.out_dir, args.category, args.n_frames,
-                                    args.seed, instances=args.instances)
+                                    args.seed, instances=args.instances,
+                                    clutter=args.clutter)
     pred_dir = os.path.join(args.out_dir, "pred")
     common = ["--seg_dir", seg_dir, "--nocs_dir", nocs_dir,
               "--ckpt_path", args.ckpt_path, "--seed", str(args.seed)]
