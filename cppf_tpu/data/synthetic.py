@@ -454,9 +454,41 @@ def random_pose(rng: np.random.Generator, nocs_style: bool = True):
     """Random pose like the renderer applies (reference utils/dataset.py:153-171)."""
     from cppf_tpu.core.geometry import rotx, roty
 
-    y_angle = rng.uniform(0, 2 * np.pi)
-    x_angle = rng.uniform(np.deg2rad(25), np.deg2rad(65))
-    yy_angle = rng.uniform(np.deg2rad(-15), np.deg2rad(15))
-    R = (roty(yy_angle)[:3, :3] @ rotx(x_angle)[:3, :3] @ roty(y_angle)[:3, :3])
-    tr = np.array([rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3), -rng.uniform(0.6, 2.0)])
+    if nocs_style:
+        y_angle = rng.uniform(0, 2 * np.pi)
+        x_angle = rng.uniform(np.deg2rad(25), np.deg2rad(65))
+        yy_angle = rng.uniform(np.deg2rad(-15), np.deg2rad(15))
+        R = (roty(yy_angle)[:3, :3] @ rotx(x_angle)[:3, :3] @ roty(y_angle)[:3, :3])
+        tr = np.array([rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3), -rng.uniform(0.6, 2.0)])
+    else:  # SUN RGB-D recipe (reference utils/dataset.py:163-171)
+        y_angle = rng.uniform(0, 2 * np.pi)
+        x_angle = np.clip(rng.normal(40, 10), 10, 70) / 180 * np.pi
+        R = rotx(x_angle)[:3, :3] @ roty(y_angle)[:3, :3]
+        tr = np.array([rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2), -rng.uniform(1.0, 5.0)])
     return R, tr
+
+
+# the NOCS camera frame (after the reference's backproject x/y negations,
+# nocs/inference.py:131-138) relates to our raster camera frame by this
+# involution: p_nocs = D @ p_raster
+_D_NOCS = np.diag([1.0, -1.0, -1.0])
+
+
+def observation_pose(rng: np.random.Generator, is_nocs: bool = True):
+    """GT pose of the TRAINED canonical frame in the observation (NOCS
+    driver) camera frame, with the view direction drawn from the TRAINING
+    distribution (objects seen from 25-65 deg ABOVE, reference
+    utils/dataset.py:153-171 — naively reusing ``random_pose`` with the z
+    sign flipped views objects from BELOW, off the training manifold).
+
+    Returns (R_gt, T_gt): canonical points ``c`` (already flip2nocs'd for
+    NOCS categories) observe at ``c @ R_gt.T + T_gt``; render their depth at
+    ``(c @ R_gt.T + T_gt) * [1, -1, -1]``.  ``R_gt[:, 1]`` is the true up,
+    ``R_gt[:, 0]``/``R_gt[:, 2]`` the true right under the x/z conventions.
+    """
+    from cppf_tpu.data.shapenet import FLIP2NOCS
+
+    R_t, tr_t = random_pose(rng, nocs_style=is_nocs)
+    R_gt = _D_NOCS @ R_t @ (FLIP2NOCS.T if is_nocs else np.eye(3))
+    T_gt = _D_NOCS @ tr_t
+    return R_gt, T_gt

@@ -35,7 +35,8 @@ def main():
     from cppf_tpu.data.synthetic import (
         PRIMITIVES, mesh_bounds, oracle_pair_predictions, sample_surface,
     )
-    from cppf_tpu.data.synthetic import random_pose
+    from cppf_tpu.data.shapenet import FLIP2NOCS, NOCS_CATEGORIES
+    from cppf_tpu.data.synthetic import observation_pose
     from cppf_tpu.pipeline.pose import PoseConfig, estimate_pose, vote_pose
     from cppf_tpu.pipeline.preprocess import preprocess_cloud
 
@@ -43,13 +44,16 @@ def main():
     rng = np.random.default_rng(args.seed)
 
     mesh = PRIMITIVES.get(args.category, PRIMITIVES["bottle"])()
-    R_true, T_true = random_pose(rng)
+    is_nocs = args.category in NOCS_CATEGORIES
+    R_true, T_true = observation_pose(rng, is_nocs=is_nocs)
     lo, hi = mesh_bounds(mesh)
     # canonical object like the training data: bbox-centred, unit-diagonal,
-    # scaled into the category scale range
+    # scaled into the category scale range, flip2nocs'd like the train frame
     diag = float(np.linalg.norm(hi - lo))
     scale = float(np.mean(cfg.scale_range))
     pc_canon = (sample_surface(mesh, 6000, rng) - (lo + hi) / 2) / diag * scale
+    if is_nocs:
+        pc_canon = pc_canon @ FLIP2NOCS.T
     pc_cam = (pc_canon @ R_true.T + T_true).astype(np.float32)
     bound = (hi - lo) / diag * scale
     bound[[0, 2]] = bound[[2, 0]]

@@ -32,7 +32,8 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
 
     from cppf_tpu.core.geometry import backproject
     from cppf_tpu.data import native
-    from cppf_tpu.data.synthetic import mesh_bounds, random_pose, random_primitive
+    from cppf_tpu.data.shapenet import FLIP2NOCS, NOCS_CATEGORIES
+    from cppf_tpu.data.synthetic import mesh_bounds, observation_pose, random_primitive
     from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS, CategoryRunner
 
     class A:
@@ -44,8 +45,7 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     K = REAL275_INTRINSICS
-    # place the object far enough that it fits the frustum
-    mean_scale = float(np.linalg.norm(runner.cfg.scale_mean)) * 2
+    is_nocs = category in NOCS_CATEGORIES
 
     t_errs, up_errs, right_errs, s_errs = [], [], [], []
     attempts = 0
@@ -55,10 +55,14 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
         lo, hi = mesh_bounds(mesh)
         diag = float(np.linalg.norm(hi - lo))
         scale = float(rng.uniform(*runner.cfg.scale_range))
-        R, T = random_pose(rng)
-        T = T.copy() * max(1.0, 3.0 * mean_scale)
-        T[2] = abs(T[2])  # in front of the camera after the NOCS flips
+        # GT pose of the TRAINED canonical frame (incl. flip2nocs for NOCS
+        # categories), view direction from the training distribution — the
+        # sim-to-real assumption the reference evaluates under (real scenes
+        # view tabletop objects from above)
+        R, T = observation_pose(rng, is_nocs=is_nocs)
         v_canon = (mesh.vertices - (lo + hi) / 2) / diag * scale
+        if is_nocs:
+            v_canon = v_canon @ FLIP2NOCS.T
         v_cam_nocs = v_canon @ R.T + T
         v_render = v_cam_nocs * np.float32([1, -1, -1])
         depth = native.rasterize_depth(v_render, mesh.faces, K[0, 0], K[1, 1],

@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cppf_tpu.config import load_config
 from cppf_tpu.data import native
-from cppf_tpu.data.synthetic import mesh_bounds, random_pose, random_primitive, sample_surface
+from cppf_tpu.data.shapenet import FLIP2NOCS
+from cppf_tpu.data.synthetic import (
+    mesh_bounds, observation_pose, random_primitive, sample_surface,
+)
 from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS, SYNSET_NAMES
 
 
@@ -63,16 +66,17 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
             diag = float(np.linalg.norm(hi - lo))
             mesh = mesh._replace(vertices=mesh.vertices / diag)  # unit diagonal like training
             lo, hi = mesh_bounds(mesh)
-            R, T = random_pose(rng)
-            T = T.copy()
-            T[2] = -T[2]  # camera frame: object in front at +z after NOCS flips
+            # GT pose of the TRAINED canonical frame (flip2nocs'd), viewed
+            # from the training elevation band (objects seen from above,
+            # like the real NOCS scenes)
+            R, T = observation_pose(rng, is_nocs=True)
             if n_inst > 1:
                 # spread instances laterally so every one stays visible
                 T[0] += 0.55 * (inst - (n_inst - 1) / 2)
-                T[2] -= 0.25 * inst
+                T[2] += 0.25 * inst
             # training canonicalisation: unit diagonal x category scale_range
             scale = float(rng.uniform(*ranges[cat]))
-            v_canon = (mesh.vertices - (lo + hi) / 2) * scale
+            v_canon = (mesh.vertices - (lo + hi) / 2) * scale @ FLIP2NOCS.T
             v_cam_nocs = v_canon @ R.T + T
             # our rasterizer looks down -z with +y up and projects
             # v = cy - fy*y/d; the NOCS backprojection + the driver's x/y
@@ -93,13 +97,11 @@ def make_frames(out_root: str, category: str, n_frames: int, seed: int = 0,
             lo, hi = mesh_bounds(mesh)
             mesh = mesh._replace(vertices=mesh.vertices / float(np.linalg.norm(hi - lo)))
             lo, hi = mesh_bounds(mesh)
-            Rc, Tc = random_pose(rng)
-            Tc = Tc.copy()
-            Tc[2] = -Tc[2]
+            Rc, Tc = observation_pose(rng, is_nocs=True)
             Tc[0] += rng.uniform(-0.5, 0.5)
-            Tc[2] -= rng.uniform(0.0, 0.3)
+            Tc[2] += rng.uniform(0.0, 0.3)
             scale = float(rng.uniform(*ranges[cat]))
-            v = (mesh.vertices - (lo + hi) / 2) * scale @ Rc.T + Tc
+            v = (mesh.vertices - (lo + hi) / 2) * scale @ FLIP2NOCS.T @ Rc.T + Tc
             depths.append(native.rasterize_depth(
                 v * np.float32([1, -1, -1]), mesh.faces, K[0, 0], K[1, 1],
                 K[0, 2], K[1, 2], 640, 480))
