@@ -61,6 +61,12 @@ class Config:
     vote_range: Tuple[float, float] = (0.12, 0.12)
     scale_mean: Tuple[float, float, float] = (0.07, 0.03, 0.07)
 
+    # Structured-light depth-noise augmentation of training renders
+    # (sim-to-real; no reference counterpart — the reference relies on
+    # ShapeNet detail + the res/4 cloud jitter alone).  0 disables; 1.0 is
+    # a Kinect-like magnitude (see data/shapenet.py::apply_depth_noise).
+    depth_noise: float = 0.0
+
     # --- TPU-specific static-shape knobs (no reference counterpart) -------
     # Number of sampled point pairs per training sample / inference instance.
     train_pairs: int = 200000

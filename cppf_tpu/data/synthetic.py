@@ -186,9 +186,15 @@ def random_bottle(rng) -> Mesh:
 
 
 def random_can(rng) -> Mesh:
+    """Beverage-can profile.  The top rim is always inset deeper than the
+    bottom (the drinking end is necked like real cans): a perfectly
+    top-bottom-symmetric cylinder makes the up-orientation aux bit
+    unlearnable (both signs fit the same invariant features)."""
     r = rng.uniform(0.25, 0.5)
-    rim = rng.uniform(0.82, 0.95)
-    return make_lathe([(0.0, r * rim), (0.03, r), (0.97, r), (1.0, r * rim)])
+    rim_bot = rng.uniform(0.9, 0.97)
+    rim_top = rng.uniform(0.78, 0.88)
+    return make_lathe([(0.0, r * rim_bot), (0.03, r), (0.93, r),
+                       (0.97, r * rim_top), (1.0, r * rim_top)])
 
 
 def random_bowl(rng) -> Mesh:

@@ -94,6 +94,31 @@ def test_random_primitive_families(category):
     assert np.ptp(diags, axis=0).max() > 0.005
 
 
+def test_depth_noise_model():
+    """Structured-light augmentation: perturbs depth at realistic magnitude,
+    quantises, drops some edge pixels, keeps the zero (background) mask."""
+    from cppf_tpu.data.shapenet import apply_depth_noise
+
+    rng = np.random.default_rng(0)
+    depth = np.zeros((64, 64), np.float32)
+    depth[16:48, 16:48] = 1.0
+    out = apply_depth_noise(depth, rng, strength=1.0)
+    assert out.shape == depth.shape
+    assert (out[depth == 0] == 0).all()          # background untouched
+    changed = out[16:48, 16:48]
+    valid = changed > 0
+    assert valid.mean() > 0.5                     # most pixels survive
+    err = np.abs(changed[valid] - 1.0)
+    assert 1e-4 < err.mean() < 0.02               # mm-scale, not cm-scale
+
+
+def test_shapenet_dataset_depth_noise():
+    cfg = load_config("bowl", {"depth_noise": 1.0})
+    ds = ShapeNetRenderDataset(cfg, seed=2)
+    s = ds.sample()
+    assert s.pc.shape[0] >= 100 and np.isfinite(s.pc).all()
+
+
 def test_compute_stats_box_analytic():
     """Stats semantics pinned to the reference (gen_stats.py:29-57): diagonal
     scale_range, max |proj_len| / dist2o vote_range, mean-of-max scale_mean —
