@@ -225,6 +225,12 @@ def random_mug(rng) -> Mesh:
 
 
 def random_camera(rng) -> Mesh:
+    """Camera body + lens + viewfinder + grip.  The viewfinder is ALWAYS
+    present and the lens sits above the body midline: a vertically
+    mirror-symmetric sample (the old 50% no-viewfinder draw) gives the
+    up-orientation targets contradictory labels across samples, which
+    poisons the up-angle/aux heads.  The +x grip breaks left-right mirror
+    symmetry so the right axis is geometrically determined."""
     w = 1.0
     hh = w * rng.uniform(0.55, 0.8)
     d = w * rng.uniform(0.35, 0.55)
@@ -232,12 +238,17 @@ def random_camera(rng) -> Mesh:
     lens_r = w * rng.uniform(0.16, 0.28)
     lens_l = d * rng.uniform(0.3, 0.8)
     lens = _rot_x90(make_lathe([(0.0, lens_r), (lens_l, lens_r)]))
-    lens = _translate(lens, (rng.uniform(-0.15, 0.15) * w, 0.0, d / 2))
-    parts = [body, lens]
-    if rng.uniform() < 0.5:  # viewfinder bump
-        parts.append(_translate(make_box((w * 0.3, hh * 0.25, d * 0.6)),
-                                (rng.uniform(-0.2, 0.2) * w, hh / 2, 0)))
-    return _merge(*parts)
+    lens = _translate(lens, (rng.uniform(-0.15, 0.15) * w,
+                             hh * rng.uniform(0.02, 0.12), d / 2))
+    vf = _translate(
+        make_box((w * rng.uniform(0.25, 0.4), hh * rng.uniform(0.18, 0.3),
+                  d * rng.uniform(0.5, 0.7))),
+        (rng.uniform(-0.2, 0.2) * w, hh / 2, 0))
+    grip = _translate(
+        make_box((w * 0.18, hh * rng.uniform(0.7, 0.95),
+                  d * rng.uniform(0.2, 0.35))),
+        (w / 2, 0.0, d * 0.2))
+    return _merge(body, lens, vf, grip)
 
 
 def random_laptop(rng) -> Mesh:
