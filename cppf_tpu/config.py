@@ -67,6 +67,20 @@ class Config:
     # a Kinect-like magnitude (see data/shapenet.py::apply_depth_noise).
     depth_noise: float = 0.0
 
+    # Weight the aux orientation-bit BCE by per-pair informativeness
+    # |n_canon·axis| (no reference counterpart — the reference's unweighted
+    # BCE trains the bit to chance on near-revolution bodies, which is what
+    # its right-axis failures on mug/camera trace back to).
+    aux_weighted: bool = True
+
+    # Zero-shot proposal-contrast validation cadence (epochs; 0 = off).
+    # Regression-variant (cls_bins=False) training only: every N epochs a
+    # fixed cluttered synthetic scene is scored by the proposal extractor
+    # and the best state is snapshotted as params_zs — best-train-loss
+    # selection provably destroys the zero-shot regime (round-2 postmortem:
+    # 612→0 proposals on the real frame across epochs 60→200).
+    contrast_val_every: int = 0
+
     # --- TPU-specific static-shape knobs (no reference counterpart) -------
     # Number of sampled point pairs per training sample / inference instance.
     train_pairs: int = 200000

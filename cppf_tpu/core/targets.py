@@ -28,6 +28,7 @@ class VotingTargets(NamedTuple):
     rot: jnp.ndarray       # [P, 2]  (up angle, right angle)
     rot_aux: jnp.ndarray   # [P, 2]  binary orientation bits
     point_idxs: jnp.ndarray  # [P, 2] int32
+    aux_weight: jnp.ndarray  # [P, 2]  |n_canon·axis| informativeness of the bits
 
 
 def sample_pair_idxs(rng: jax.Array, n_points, n_pairs: int) -> jnp.ndarray:
@@ -77,14 +78,24 @@ def generate_targets(
     n_a = pc_normal[point_idxs[:, 0]]
     flip = jnp.where(jnp.sum(n_a * d_unit, -1, keepdims=True) < 0, -1.0, 1.0)
     n_canon = n_a * flip
+    up_dot_n = jnp.sum(n_canon * up, -1)
+    right_dot_n = jnp.sum(n_canon * right, -1)
     target_aux = jnp.stack(
         [
-            (jnp.sum(n_canon * up, -1) > 0).astype(pc.dtype),
-            (jnp.sum(n_canon * right, -1) > 0).astype(pc.dtype),
+            (up_dot_n > 0).astype(pc.dtype),
+            (right_dot_n > 0).astype(pc.dtype),
         ],
         -1,
     )
-    return VotingTargets(target_tr, target_rot, target_aux, point_idxs.astype(jnp.int32))
+    # Informativeness of each bit: |n_canon·axis|.  When the canonicalised
+    # normal is near-perpendicular to the axis the sign is decided by noise
+    # (near-revolution surfaces: almost EVERY pair), and training on those
+    # labels drags the aux head to chance.  The loss weights the BCE by this
+    # so only pairs whose geometry determines the bit teach it (no reference
+    # counterpart — the reference's unweighted BCE has the same failure).
+    aux_weight = jnp.stack([jnp.abs(up_dot_n), jnp.abs(right_dot_n)], -1)
+    return VotingTargets(target_tr, target_rot, target_aux,
+                         point_idxs.astype(jnp.int32), aux_weight)
 
 
 def soft_bin_targets(

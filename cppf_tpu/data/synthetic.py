@@ -370,8 +370,16 @@ RANDOM_PRIMITIVES = {
 
 
 def random_primitive(category: str, rng: np.random.Generator) -> Mesh:
-    """A fresh randomly-parameterised instance of the category family."""
-    fn = RANDOM_PRIMITIVES.get(category, random_box)
+    """A fresh randomly-parameterised instance of the category family.
+
+    Dispatches to the round-3 compositional generators
+    (:mod:`cppf_tpu.data.compose` — multi-part bodies, part styles, surface
+    detail); the single-template families above remain as the simpler
+    fallback for categories without a compositional generator.
+    """
+    from cppf_tpu.data.compose import COMPOSITIONAL
+
+    fn = COMPOSITIONAL.get(category) or RANDOM_PRIMITIVES.get(category, random_box)
     return fn(rng)
 
 

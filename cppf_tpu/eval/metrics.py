@@ -4,7 +4,7 @@ Functional parity target: reference ``utils/util.py:181-255,342-515,709-1008``
 (the Mask R-CNN/NOCS-lineage evaluation): 3D-IoU AP over threshold sweeps and
 a (degree, cm) pose-AP matrix with matched-pair gating.  This must reproduce
 the reference numbers exactly on identical inputs (verified in
-tests/test_metrics_parity.py), so the quirks are preserved deliberately:
+tests/test_eval_parity.py), so the quirks are preserved deliberately:
 
 - predictions are score-sorted before IoU matching; matched greedily per
   threshold; class mismatch skipped *after* the IoU-order break;

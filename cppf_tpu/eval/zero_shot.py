@@ -42,6 +42,29 @@ class Detection(NamedTuple):
     score: float
 
 
+def boundary_contrast(smoothed: np.ndarray, loc: np.ndarray, margin: int = 10):
+    """Notebook cell-9 peak score: peak value minus the mean over the 12
+    edges of the ``margin``-box boundary around ``loc``."""
+    lll = np.maximum(np.zeros(3, int), loc - margin)
+    rrr = np.minimum(np.array(smoothed.shape) - 1, loc + margin)
+    nbr_val = (
+        np.mean(smoothed[lll[0]:rrr[0], lll[1], lll[2]])
+        + np.mean(smoothed[lll[0]:rrr[0], lll[1], rrr[2]])
+        + np.mean(smoothed[lll[0]:rrr[0], rrr[1], lll[2]])
+        + np.mean(smoothed[lll[0]:rrr[0], rrr[1], rrr[2]])
+        + np.mean(smoothed[lll[0], lll[1]:rrr[1], lll[2]])
+        + np.mean(smoothed[lll[0], lll[1]:rrr[1], rrr[2]])
+        + np.mean(smoothed[rrr[0], lll[1]:rrr[1], lll[2]])
+        + np.mean(smoothed[rrr[0], lll[1]:rrr[1], rrr[2]])
+        + np.mean(smoothed[lll[0], lll[1], lll[2]:rrr[2]])
+        + np.mean(smoothed[lll[0], rrr[1], lll[2]:rrr[2]])
+        + np.mean(smoothed[rrr[0], lll[1], lll[2]:rrr[2]])
+        + np.mean(smoothed[rrr[0], rrr[1], lll[2]:rrr[2]])
+    ) / 12
+    diff = smoothed[loc[0], loc[1], loc[2]] - nbr_val
+    return float(diff), lll, rrr
+
+
 def extract_proposals_host(grid: np.ndarray, corner: np.ndarray, res: float,
                            thresh: float = 50.0, margin: int = 10):
     """Notebook cell-9 proposal logic, verbatim semantics (host NumPy)."""
@@ -52,23 +75,7 @@ def extract_proposals_host(grid: np.ndarray, corner: np.ndarray, res: float,
     max_val = None
     while True:
         loc = np.array(np.unravel_index(np.argmax(smoothed), smoothed.shape))
-        lll = np.maximum(np.zeros(3, int), loc - margin)
-        rrr = np.minimum(np.array(smoothed.shape) - 1, loc + margin)
-        nbr_val = (
-            np.mean(smoothed[lll[0]:rrr[0], lll[1], lll[2]])
-            + np.mean(smoothed[lll[0]:rrr[0], lll[1], rrr[2]])
-            + np.mean(smoothed[lll[0]:rrr[0], rrr[1], lll[2]])
-            + np.mean(smoothed[lll[0]:rrr[0], rrr[1], rrr[2]])
-            + np.mean(smoothed[lll[0], lll[1]:rrr[1], lll[2]])
-            + np.mean(smoothed[lll[0], lll[1]:rrr[1], rrr[2]])
-            + np.mean(smoothed[rrr[0], lll[1]:rrr[1], lll[2]])
-            + np.mean(smoothed[rrr[0], lll[1]:rrr[1], rrr[2]])
-            + np.mean(smoothed[lll[0], lll[1], lll[2]:rrr[2]])
-            + np.mean(smoothed[lll[0], rrr[1], lll[2]:rrr[2]])
-            + np.mean(smoothed[rrr[0], lll[1], lll[2]:rrr[2]])
-            + np.mean(smoothed[rrr[0], rrr[1], lll[2]:rrr[2]])
-        ) / 12
-        diff = smoothed[loc[0], loc[1], loc[2]] - nbr_val
+        diff, lll, rrr = boundary_contrast(smoothed, loc, margin)
         if diff > thresh:
             if max_val is None:
                 max_val = diff
@@ -93,27 +100,37 @@ def filter_degenerate_pairs(pc, pc_normal, point_idxs):
     return point_idxs[~bad]
 
 
-def zero_shot_detect(
+class HeatmapState(NamedTuple):
+    """Everything cells 3-8 produce (consumed by the per-proposal loop and by
+    the training-time proposal-contrast validation)."""
+    pc: np.ndarray
+    pc_normal: np.ndarray
+    point_idxs: np.ndarray
+    preds: np.ndarray
+    grid: np.ndarray
+    corner: np.ndarray
+    dims: np.ndarray
+
+
+def zero_shot_heatmap(
     depth: np.ndarray,
     params: dict,
     cfg,
     intrinsics: np.ndarray = DEMO_INTRINSICS,
     n_pairs: int = 5000000,
     num_rots: int = 72,
-    angle_tol: float = 2.0,
-    prop_thresh: float = 50.0,
-    contrib_thresh: int = 12,
     seed: int = 0,
     predict_fn=None,
-) -> List[Detection]:
-    import jax
+) -> HeatmapState:
+    """Notebook cells 3-8: whole-frame cloud → pairs → predictions → global
+    adaptive center-vote heatmap."""
     import jax.numpy as jnp
 
-    from cppf_tpu.core.geometry import backproject, fibonacci_sphere
+    from cppf_tpu.core.geometry import backproject
     from cppf_tpu.models.encoders import PointEncoder, PPFEncoder
     from cppf_tpu.ops.knn import knn_indices
     from cppf_tpu.ops.normals import estimate_normals
-    from cppf_tpu.ops.voting import backvote, ppf_vote, rot_vote, sphere_bin_count
+    from cppf_tpu.ops.voting import ppf_vote
     from cppf_tpu.data.native import voxel_downsample_host
 
     rng = np.random.default_rng(seed)
@@ -155,20 +172,48 @@ def zero_shot_detect(
             ppf_enc.apply(params["ppf"], jnp.asarray(pc), jnp.asarray(pc_normal), feat,
                           jnp.asarray(point_idxs))
         )
-    preds_tr = preds[:, :2]
-    preds_up = preds[:, 2]
-    preds_up_aux = preds[:, 4]
-    preds_scale = preds[:, 6:9]
 
     # --- cell 8: global heatmap (always adaptive) ----------------------------
     corner = pc.min(0)
     dims = ((pc.max(0) - corner) / res).astype(np.int32) + 1
     gshape = tuple(int(np.ceil(d / 8) * 8) for d in dims)
     grid = np.asarray(ppf_vote(
-        jnp.asarray(pc), jnp.asarray(preds_tr), jnp.ones(n, np.float32),
+        jnp.asarray(pc), jnp.asarray(preds[:, :2]), jnp.ones(n, np.float32),
         jnp.asarray(point_idxs), jnp.asarray(corner), res, jnp.asarray(dims),
         gshape, n_rots=num_rots, adaptive=True,
     ))[: dims[0], : dims[1], : dims[2]]
+    return HeatmapState(pc, pc_normal, point_idxs, preds, grid, corner, dims)
+
+
+def zero_shot_detect(
+    depth: np.ndarray,
+    params: dict,
+    cfg,
+    intrinsics: np.ndarray = DEMO_INTRINSICS,
+    n_pairs: int = 5000000,
+    num_rots: int = 72,
+    angle_tol: float = 2.0,
+    prop_thresh: float = 50.0,
+    contrib_thresh: int = 12,
+    seed: int = 0,
+    predict_fn=None,
+) -> List[Detection]:
+    import jax.numpy as jnp
+
+    from cppf_tpu.core.geometry import fibonacci_sphere
+    from cppf_tpu.ops.voting import backvote, rot_vote, sphere_bin_count
+
+    rng = np.random.default_rng(seed)
+    res = cfg.res
+    hm = zero_shot_heatmap(depth, params, cfg, intrinsics, n_pairs, num_rots,
+                           seed, predict_fn)
+    pc, pc_normal, point_idxs = hm.pc, hm.pc_normal, hm.point_idxs
+    corner, dims, grid = hm.corner, hm.dims, hm.grid
+    n = len(pc)
+    preds_tr = hm.preds[:, :2]
+    preds_up = hm.preds[:, 2]
+    preds_up_aux = hm.preds[:, 4]
+    preds_scale = hm.preds[:, 6:9]
 
     # --- cell 9: proposals ----------------------------------------------------
     proposals = extract_proposals_host(grid, corner, res, thresh=prop_thresh)

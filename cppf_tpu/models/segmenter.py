@@ -38,8 +38,12 @@ class InstanceNorm(nn.Module):
     def __call__(self, x):  # [H, W, C] or [B, H, W, C]
         c = x.shape[-1]
         if self.track_stats:
-            mu = self.param("mean", nn.initializers.zeros, (c,))
-            var = self.param("var", nn.initializers.ones, (c,))
+            # running statistics live in the params tree (the torch converter
+            # fills them) but are frozen buffers, not weights: stop_gradient
+            # keeps fine-tuning from applying gradients to them, matching
+            # torch's non-trainable running buffers
+            mu = jax.lax.stop_gradient(self.param("mean", nn.initializers.zeros, (c,)))
+            var = jax.lax.stop_gradient(self.param("var", nn.initializers.ones, (c,)))
         else:
             axes = tuple(range(x.ndim - 3, x.ndim - 1))  # spatial dims
             mu = jnp.mean(x, axes, keepdims=True)

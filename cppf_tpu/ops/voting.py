@@ -233,6 +233,10 @@ def _maxpool2d(m: jnp.ndarray, fa: int, fb: int | None = None) -> jnp.ndarray:
     return m.reshape(ca, fa, cb, fb).max((1, 3))
 
 
+# vote-block size of the fused Pallas accumulation kernels (ops/pallas/vote_hist)
+_PALLAS_CHUNK = 4096
+
+
 @partial(jax.jit, static_argnames=("grid_shape", "n_rots", "adaptive", "vchunk",
                                    "splat", "window", "coarse_factor", "max_rounds",
                                    "use_pallas", "bound_dtype"))
@@ -310,6 +314,13 @@ def ppf_vote_peak(
     assert window % coarse_factor == 0 and window >= coarse_factor
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # the fused Pallas kernels consume the flat vote arrays in blocks of
+        # _PALLAS_CHUNK; the arrays are padded to a vchunk multiple, so the
+        # block size must divide vchunk or the kernels mis-tile
+        assert vchunk % _PALLAS_CHUNK == 0, (
+            f"vchunk={vchunk} must be a multiple of the Pallas vote-block "
+            f"size {_PALLAS_CHUNK} when use_pallas=True")
     if bound_dtype is None:
         bound_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
     mxu_dt = jnp.dtype(bound_dtype)
@@ -371,7 +382,7 @@ def ppf_vote_peak(
 
         mxy, mxz, myz = bound_projections(
             fx, fy, fz, rx, ry, rz, wf, gx=gx, gy=gy, by_n=by_n, bz_n=bz_n,
-            pfy=pfy, pfz=pfz, splat=splat, chunk=4096, mxu_dtype=bound_dtype,
+            pfy=pfy, pfz=pfz, splat=splat, chunk=_PALLAS_CHUNK, mxu_dtype=bound_dtype,
         )
     else:
         def bound_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
@@ -430,7 +441,7 @@ def ppf_vote_peak(
             from cppf_tpu.ops.pallas.vote_hist import refine_window
 
             win = refine_window(o, fx, fy, fz, rx, ry, rz, wf,
-                                w8=w8, splat=splat, chunk=4096)
+                                w8=w8, splat=splat, chunk=_PALLAS_CHUNK)
         else:
             def refine_body(acc, cfx, cfy, cfz, crx, cry, crz, cw):
                 axw = axis_fn(cfx[None, :], crx[None, :], row_w, o[0]) * cw[None, :]

@@ -31,11 +31,13 @@ def shard_dataset(dataset, seed: int = 0, process_index: int | None = None,
 
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
+    # reseed before the single-host early return so ``seed`` is honoured
+    # deterministically regardless of process count
+    dataset.rng = np.random.default_rng(seed * 1000003 + pi)
     if pc <= 1:
         return dataset
     if getattr(dataset, "model_names", None):
         dataset.model_names = host_shard(dataset.model_names, pi, pc)
-    dataset.rng = np.random.default_rng(seed * 1000003 + pi)
     return dataset
 
 

@@ -45,7 +45,7 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
     config: jitter → voxelize → normals → pairs → targets → soft bins."""
     key = (cfg.res, cfg.knn, cfg.train_pairs, cfg.up_sym, cfg.right_sym,
            cfg.z_right, cfg.cls_bins, tuple(cfg.vote_range), tuple(cfg.scale_mean),
-           cfg.tr_num_bins, cfg.rot_num_bins, npoint_pad)
+           cfg.tr_num_bins, cfg.rot_num_bins, npoint_pad, cfg.aux_weighted)
     if key in _PREP_CACHE:
         return _PREP_CACHE[key]
 
@@ -73,7 +73,10 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
                                                cfg.tr_num_bins, cfg.rot_num_bins)
             else:
                 tr_t, rot_t = tgt.tr, tgt.rot
-            return pre.pc, normals, pre.n_valid, idxs, tr_t, rot_t, tgt.rot_aux, st
+            out = (pre.pc, normals, pre.n_valid, idxs, tr_t, rot_t, tgt.rot_aux, st)
+            if cfg.aux_weighted:
+                out = out + (tgt.aux_weight,)
+            return out
 
         return Batch(*jax.vmap(one)(rngs, pcs, n_raws, bounds, scales))
 
@@ -148,6 +151,26 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
 
     rng = jax.random.fold_in(jax.random.PRNGKey(1), start_epoch)
     best_loss = np.inf
+    best_zs = -np.inf
+    val_scene = None
+    if cfg.contrast_val_every > 0 and not cfg.cls_bins:
+        from cppf_tpu.eval.contrast_val import make_val_scene
+
+        val_scene = make_val_scene(cfg.category)
+        zs_path = os.path.join(out_dir, "zs_metrics.jsonl")
+        if os.path.exists(zs_path):  # resume: keep the standing best
+            with open(zs_path) as f:
+                scores = [json.loads(l).get("zs_score") for l in f if l.strip()]
+            if scores:
+                best_zs = max(scores)
+    if start_epoch > 0 and os.path.exists(metrics_path):
+        # seed best-loss from the log so the first post-resume epoch cannot
+        # silently overwrite params_best with a worse state
+        with open(metrics_path) as f:
+            losses = [json.loads(l).get("loss") for l in f if l.strip()]
+        losses = [l for l in losses if l is not None]
+        if losses:
+            best_loss = min(losses)
     history = []
     for epoch in range(start_epoch, cfg.max_epoch):
         meters: dict[str, AverageMeter] = {}
@@ -182,6 +205,19 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
             best_loss = avg["loss"]
             checkpoints.save_train_state(out_dir, state, name="best")
             checkpoints.save_params(out_dir, state.params, name="params_best")
+        if val_scene is not None and (epoch + 1) % cfg.contrast_val_every == 0:
+            from cppf_tpu.eval.contrast_val import proposal_contrast_score
+
+            zs = proposal_contrast_score(val_scene[0], val_scene[1],
+                                         jax.device_get(state.params), cfg)
+            zs["epoch"] = epoch
+            with open(os.path.join(out_dir, "zs_metrics.jsonl"), "a") as f:
+                f.write(json.dumps(zs) + "\n")
+            log.info("contrast val epoch %d: score=%.1f hits=%d false=%d",
+                     epoch, zs["zs_score"], zs["zs_hits"], zs["zs_false"])
+            if zs["zs_score"] > best_zs:
+                best_zs = zs["zs_score"]
+                checkpoints.save_params(out_dir, state.params, name="params_zs")
     return {"state": state, "best_loss": best_loss, "history": history}
 
 

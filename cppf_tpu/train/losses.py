@@ -19,9 +19,14 @@ def kldiv_batchmean(log_q: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(pointwise) / t.shape[0]
 
 
-def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray,
+                    weight: jnp.ndarray | None = None) -> jnp.ndarray:
+    """BCEWithLogits; with ``weight`` a normalised weighted mean (weights sum
+    out, so the loss scale stays comparable to the unweighted form)."""
     loss = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return jnp.mean(loss)
+    if weight is None:
+        return jnp.mean(loss)
+    return jnp.sum(weight * loss) / jnp.maximum(jnp.sum(weight), 1e-6)
 
 
 def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -29,11 +34,14 @@ def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def ppf_losses(preds, tr_prob, rot_prob, aux, scale_target, tr_num_bins, rot_num_bins,
-               regress_right: bool):
+               regress_right: bool, aux_weight=None):
     """Slice the head output (reference train.py:68-75) and compute all terms.
 
     preds: [P, out_dim]; tr_prob: [P,2,B]; rot_prob: [P,2,R]; aux: [P,2];
-    scale_target: [3].  Returns (total, dict of components).
+    scale_target: [3]; aux_weight: optional [P,2] per-pair informativeness
+    weights for the orientation-bit BCEs (|n_canon·axis|; the reference's
+    unweighted BCE trains the bit to chance on near-revolution bodies).
+    Returns (total, dict of components).
     """
     import jax
 
@@ -48,7 +56,8 @@ def ppf_losses(preds, tr_prob, rot_prob, aux, scale_target, tr_num_bins, rot_num
     loss_tr = kldiv_batchmean(jax.nn.log_softmax(preds_tr[:, 0], -1), tr_prob[:, 0]) + \
         kldiv_batchmean(jax.nn.log_softmax(preds_tr[:, 1], -1), tr_prob[:, 1])
     loss_up = kldiv_batchmean(jax.nn.log_softmax(preds_up, -1), rot_prob[:, 0])
-    loss_up_aux = bce_with_logits(preds_up_aux, aux[:, 0])
+    w_up = aux_weight[:, 0] if aux_weight is not None else None
+    loss_up_aux = bce_with_logits(preds_up_aux, aux[:, 0], w_up)
     loss_scale = mse(preds_scale, scale_target[None, :])
 
     total = loss_up + loss_tr + loss_up_aux + loss_scale
@@ -60,7 +69,8 @@ def ppf_losses(preds, tr_prob, rot_prob, aux, scale_target, tr_num_bins, rot_num
     }
     if regress_right:
         loss_right = kldiv_batchmean(jax.nn.log_softmax(preds_right, -1), rot_prob[:, 1])
-        loss_right_aux = bce_with_logits(preds_right_aux, aux[:, 1])
+        w_right = aux_weight[:, 1] if aux_weight is not None else None
+        loss_right_aux = bce_with_logits(preds_right_aux, aux[:, 1], w_right)
         total = total + loss_right + loss_right_aux
         comps["loss_right"] = loss_right
         comps["loss_right_aux"] = loss_right_aux
@@ -68,7 +78,8 @@ def ppf_losses(preds, tr_prob, rot_prob, aux, scale_target, tr_num_bins, rot_num
     return total, comps
 
 
-def ppf_regression_losses(preds, tr_target, rot_target, aux, scale_target):
+def ppf_regression_losses(preds, tr_target, rot_target, aux, scale_target,
+                          aux_weight=None):
     """Losses for the regression head variant (cls_bins=False; out_dim=9,
     reference nocs/zero_shot.ipynb cell 1, utils/dataset.py:232-243 guards).
 
@@ -78,7 +89,7 @@ def ppf_regression_losses(preds, tr_target, rot_target, aux, scale_target):
     """
     loss_tr = mse(preds[:, :2], tr_target)
     loss_rot = mse(preds[:, 2:4], rot_target)
-    loss_aux = bce_with_logits(preds[:, 4:6], aux)
+    loss_aux = bce_with_logits(preds[:, 4:6], aux, aux_weight)
     loss_scale = mse(preds[:, 6:9], scale_target[None, :])
     total = loss_tr + loss_rot + loss_aux + loss_scale
     return total, {

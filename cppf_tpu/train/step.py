@@ -34,6 +34,9 @@ class Batch(NamedTuple):
     rot_prob: jnp.ndarray     # [B, P, 2, nr]   (cls_bins) or [B, P, 2] raw
     aux: jnp.ndarray          # [B, P, 2]
     scale_target: jnp.ndarray  # [B, 3]
+    # |n_canon·axis| informativeness weights for the aux-bit BCE; None =
+    # unweighted (the reference behaviour)
+    aux_weight: Any = None    # [B, P, 2] or None
 
 
 class TrainState(NamedTuple):
@@ -88,7 +91,7 @@ def loss_fn(params, batch: Batch, statics: TrainStatics):
     )
     ppf_enc = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=out_dim)
 
-    def per_sample(pc, normals, n_valid, idxs, tr_prob, rot_prob, aux, st):
+    def per_sample(pc, normals, n_valid, idxs, tr_prob, rot_prob, aux, st, aux_w):
         valid = jnp.arange(pc.shape[0]) < n_valid
         nbr = knn_indices(pc, statics.knn, valid)
         feat = point_enc.apply(params["point"], pc, normals, nbr, valid)
@@ -97,12 +100,15 @@ def loss_fn(params, batch: Batch, statics: TrainStatics):
             return ppf_losses(
                 preds, tr_prob, rot_prob, aux, st,
                 statics.tr_num_bins, statics.rot_num_bins, statics.regress_right,
+                aux_weight=aux_w,
             )
-        return ppf_regression_losses(preds, tr_prob, rot_prob, aux, st)
+        return ppf_regression_losses(preds, tr_prob, rot_prob, aux, st,
+                                     aux_weight=aux_w)
 
     totals, comps = jax.vmap(per_sample)(
         batch.pc, batch.normals, batch.n_valid, batch.point_idxs,
         batch.tr_prob, batch.rot_prob, batch.aux, batch.scale_target,
+        batch.aux_weight,
     )
     return jnp.mean(totals), jax.tree.map(jnp.mean, comps)
 

@@ -136,11 +136,15 @@ def test_shard_dataset_two_hosts():
     assert not set(d0.model_names) & set(d1.model_names)
     # decorrelated RNG streams
     assert d0.rng.integers(0, 1 << 30) != d1.rng.integers(0, 1 << 30)
-    # single host: identity (names and rng untouched)
+    # single host: names untouched, but the seed is still honoured (the rng
+    # is reseeded deterministically regardless of process count)
+    import numpy as np
+
     ds = mk()
-    rng_before = ds.rng
     shard_dataset(ds, process_index=0, process_count=1)
-    assert ds.model_names == names and ds.rng is rng_before
+    assert ds.model_names == names
+    expect = np.random.default_rng(0).integers(0, 1 << 30)
+    assert ds.rng.integers(0, 1 << 30) == expect
 
 
 def test_viz_draw_box():

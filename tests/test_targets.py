@@ -90,3 +90,36 @@ def test_soft_bin_targets_shapes(rng):
     assert tr_prob.shape == (64, 2, 32)
     assert rot_prob.shape == (64, 2, 36)
     np.testing.assert_allclose(np.asarray(tr_prob).sum(-1), 1.0, atol=1e-5)
+
+
+def test_aux_weight_is_informativeness(rng):
+    """aux_weight = |n_canon . axis|: 1 for normals along the axis, 0 for
+    normals perpendicular to it (whose sign bits are label noise)."""
+    pc = rng.normal(size=(200, 3)).astype(np.float32) * 0.1
+    normals = rng.normal(size=(200, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    idxs = rng.integers(0, 200, size=(1000, 2))
+    out = generate_targets(jnp.array(pc), jnp.array(normals), jnp.array(idxs))
+    a = pc[idxs[:, 0]]
+    b = pc[idxs[:, 1]]
+    u = (a - b) / (np.linalg.norm(a - b, axis=-1, keepdims=True) + 1e-7)
+    n = normals[idxs[:, 0]].copy()
+    n[np.sum(n * u, -1) < 0] *= -1
+    np.testing.assert_allclose(np.asarray(out.aux_weight)[:, 0], np.abs(n[:, 1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.aux_weight)[:, 1], np.abs(n[:, 0]), atol=1e-5)
+
+
+def test_weighted_bce_focuses_informative_pairs():
+    """The weighted BCE ignores zero-weight pairs and equals the unweighted
+    form under uniform weights."""
+    from cppf_tpu.train.losses import bce_with_logits
+
+    logits = jnp.array([10.0, -10.0, 0.0, 3.0])
+    target = jnp.array([1.0, 1.0, 0.0, 1.0])
+    base = bce_with_logits(logits, target)
+    uniform = bce_with_logits(logits, target, jnp.ones(4) * 0.37)
+    np.testing.assert_allclose(float(base), float(uniform), rtol=1e-6)
+    # zeroing the badly-wrong pair's weight removes its contribution
+    w = jnp.array([1.0, 0.0, 1.0, 1.0])
+    focused = bce_with_logits(logits, target, w)
+    assert float(focused) < float(base)
