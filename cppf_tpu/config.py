@@ -97,6 +97,10 @@ class Config:
     num_rots: int = 72
     angle_prec: float = 1.5
     adaptive_voting: bool = False
+    # drop coplanar-indistinguishable pairs from center voting (the
+    # zero-shot notebook's cell-6 filter; fixes the mirror-peak T failure
+    # on plane-dominated SUN views — see pipeline.pose.PoseConfig)
+    filter_coplanar: bool = False
 
     def resolved_grid_edge(self) -> int:
         if self.grid_edge:

@@ -76,7 +76,14 @@ class CategoryRunner:
         n_raw_pad = cfg.npoint_max
         pad = np.zeros((n_raw_pad, 3), np.float32)
         n_raw = min(len(pc_raw), n_raw_pad)
-        pad[:n_raw] = pc_raw[:n_raw]
+        if len(pc_raw) > n_raw_pad:
+            # stride-subsample: backprojected clouds are in scanline order, so
+            # truncation ([:n]) would keep only the TOP IMAGE ROWS of a large
+            # object (meter-scale T errors on SUN-sized objects, found by the
+            # GT-oracle probe); an even stride keeps full spatial coverage
+            pad[:] = pc_raw[np.linspace(0, len(pc_raw) - 1, n_raw_pad).astype(int)]
+        else:
+            pad[:n_raw] = pc_raw[:n_raw]
         r1, r2 = jax.random.split(rng)
         pre = preprocess_cloud(r1, jnp.asarray(pad), n_raw, cfg.res,
                                npoint_pad=cfg.npoint_pad, knn=cfg.knn)
@@ -116,7 +123,10 @@ class CategoryRunner:
         n_raws = np.zeros(B_pad, np.int32)
         for i, pc_raw in enumerate(pc_list):
             n = min(len(pc_raw), n_raw_pad)
-            pads[i, :n] = pc_raw[:n]
+            if len(pc_raw) > n_raw_pad:  # stride-subsample (see estimate())
+                pads[i] = pc_raw[np.linspace(0, len(pc_raw) - 1, n_raw_pad).astype(int)]
+            else:
+                pads[i, :n] = pc_raw[:n]
             n_raws[i] = n
         for i in range(B, B_pad):
             pads[i] = pads[0]

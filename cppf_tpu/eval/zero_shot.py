@@ -112,6 +112,92 @@ class HeatmapState(NamedTuple):
     dims: np.ndarray
 
 
+def _sparse_frame_grid(pc, preds_tr, point_idxs, corner, dims, res,
+                       num_rots: int, n_cands: int = 24,
+                       window: int = 48, coarse_pool: int = 8,
+                       pair_budget: int = 1 << 17) -> np.ndarray:
+    """Whole-frame heatmap without the XLA scatter (~0.1 G adds/s wall).
+
+    Two fused-Pallas passes (cppf_tpu.ops.pallas.vote_hist.dense_hist):
+
+    1. a ``coarse_pool``³-pooled grid of the whole frame (pooled (y,z) plane
+       small enough to live in VMEM) ranks candidate regions — a coarse
+       cell's value upper-bounds every fine voxel inside it, so the top
+       cells are a superset of any sharp peak;
+    2. per candidate, an exact fine ``window``³ sub-grid over only the pairs
+       whose vote circle can reach the window (host prefilter on the circle
+       center/radius).
+
+    The returned dense array is exact inside every candidate window
+    (including the smoothing halo the proposal extractor reads) and zero
+    elsewhere; peaks outside the top-``n_cands`` regions are below every
+    candidate's coarse mass by construction.  Proposal-level equality with
+    the scatter path is pinned in tests/test_zero_shot.py.
+    """
+    import jax.numpy as jnp
+
+    from cppf_tpu.ops.voting import ppf_vote_dense
+
+    gshape_c = tuple(int(np.ceil(d / coarse_pool / 8) * 8) * coarse_pool
+                     for d in dims)
+    n = pc.shape[0]
+    coarse = np.asarray(ppf_vote_dense(
+        jnp.asarray(pc), jnp.asarray(preds_tr), jnp.ones(n, np.float32),
+        jnp.asarray(point_idxs), jnp.asarray(corner), res, jnp.asarray(dims),
+        gshape_c, n_rots=num_rots, adaptive=True, splat="trilinear",
+        pool=(coarse_pool,) * 3))
+
+    flat = np.argsort(coarse.reshape(-1))[::-1][:n_cands]
+    cands = np.stack(np.unravel_index(flat, coarse.shape), -1)
+    cands = cands[coarse.reshape(-1)[flat] > 0]
+
+    # host pair prefilter quantities: circle center + radius per pair
+    a = pc[point_idxs[:, 0]]
+    b = pc[point_idxs[:, 1]]
+    d = a - b
+    du = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-7)
+    cc = a - preds_tr[:, :1] * du
+    rad = np.abs(preds_tr[:, 1])
+
+    out = np.zeros(tuple(int(x) for x in dims), np.float32)
+    wshape = (window,) * 3
+    half = window // 2
+    for cell in cands:
+        wo = np.clip(cell * coarse_pool + coarse_pool // 2 - half, 0,
+                     np.maximum(np.asarray(dims) - window, 0)).astype(int)
+        wc_world = corner + (wo + half) * res
+        reach = rad + (half * np.sqrt(3) + 2) * res
+        keep = np.flatnonzero(np.linalg.norm(cc - wc_world, axis=-1) <= reach)
+        if len(keep) == 0:
+            continue
+        comp = 1.0
+        if len(keep) > pair_budget:
+            # stride-subsample over budget; compensate the lost vote mass so
+            # window peak heights stay comparable across windows (vote weight
+            # is max(probs[a], probs[b]) — a uniform probs vector scales it)
+            stride = len(keep) // pair_budget + 1
+            keep = keep[::stride]
+            comp = float(stride)
+        sel = np.zeros((pair_budget, 2), np.int32)
+        msk = np.zeros((pair_budget,), bool)
+        sel[: len(keep)] = point_idxs[keep]
+        msk[: len(keep)] = True
+        ptr = np.zeros((pair_budget, 2), np.float32)
+        ptr[: len(keep)] = preds_tr[keep]
+        win = np.asarray(ppf_vote_dense(
+            jnp.asarray(pc), jnp.asarray(ptr), jnp.full(n, comp, np.float32),
+            jnp.asarray(sel), jnp.asarray(corner + wo * res, np.float32), res,
+            jnp.asarray(np.minimum(np.asarray(dims) - wo, window), np.int32),
+            wshape, n_rots=num_rots, adaptive=True, splat="trilinear",
+            pair_mask=jnp.asarray(msk)))
+        sl = tuple(slice(int(o), int(min(o + window, dim)))
+                   for o, dim in zip(wo, dims))
+        out[sl] = win[: sl[0].stop - sl[0].start,
+                      : sl[1].stop - sl[1].start,
+                      : sl[2].stop - sl[2].start]
+    return out
+
+
 def zero_shot_heatmap(
     depth: np.ndarray,
     params: dict,
@@ -121,9 +207,15 @@ def zero_shot_heatmap(
     num_rots: int = 72,
     seed: int = 0,
     predict_fn=None,
+    sparse: bool | None = None,
 ) -> HeatmapState:
     """Notebook cells 3-8: whole-frame cloud → pairs → predictions → global
-    adaptive center-vote heatmap."""
+    adaptive center-vote heatmap.
+
+    ``sparse`` selects the two-pass Pallas path (:func:`_sparse_frame_grid`)
+    instead of the XLA scatter for the heatmap; ``None`` auto-enables it on
+    TPU for large workloads (the scatter serialises at ~0.1 G adds/s — whole
+    seconds on the notebook's 5M-pair frame)."""
     import jax.numpy as jnp
 
     from cppf_tpu.core.geometry import backproject
@@ -176,12 +268,21 @@ def zero_shot_heatmap(
     # --- cell 8: global heatmap (always adaptive) ----------------------------
     corner = pc.min(0)
     dims = ((pc.max(0) - corner) / res).astype(np.int32) + 1
-    gshape = tuple(int(np.ceil(d / 8) * 8) for d in dims)
-    grid = np.asarray(ppf_vote(
-        jnp.asarray(pc), jnp.asarray(preds[:, :2]), jnp.ones(n, np.float32),
-        jnp.asarray(point_idxs), jnp.asarray(corner), res, jnp.asarray(dims),
-        gshape, n_rots=num_rots, adaptive=True,
-    ))[: dims[0], : dims[1], : dims[2]]
+    if sparse is None:
+        import jax
+
+        sparse = (jax.default_backend() == "tpu"
+                  and len(point_idxs) * num_rots > 20_000_000)
+    if sparse:
+        grid = _sparse_frame_grid(pc, preds[:, :2].astype(np.float32),
+                                  point_idxs, corner, dims, res, num_rots)
+    else:
+        gshape = tuple(int(np.ceil(d / 8) * 8) for d in dims)
+        grid = np.asarray(ppf_vote(
+            jnp.asarray(pc), jnp.asarray(preds[:, :2]), jnp.ones(n, np.float32),
+            jnp.asarray(point_idxs), jnp.asarray(corner), res, jnp.asarray(dims),
+            gshape, n_rots=num_rots, adaptive=True,
+        ))[: dims[0], : dims[1], : dims[2]]
     return HeatmapState(pc, pc_normal, point_idxs, preds, grid, corner, dims)
 
 

@@ -197,3 +197,113 @@ def refine_window(o, fx, fy, fz, rx, ry, rz, w, *, w8: int = 16,
         out_shape=jax.ShapeDtypeStruct((w8, w8 * w8), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(o, jnp.int32), fx, fy, fz, rx, ry, rz, w)
+
+
+def _dense_kernel(fx_r, fy_r, fz_r, rx_r, ry_r, rz_r, w_r, out_ref, *,
+                  cz, px, py, pz, rows_p, col_tile, splat, mxu_dtype,
+                  precision):
+    fx = fx_r[:].reshape(1, -1)
+    fy = fy_r[:].reshape(1, -1)
+    fz = fz_r[:].reshape(1, -1)
+    rx = rx_r[:].reshape(1, -1)
+    ry = ry_r[:].reshape(1, -1)
+    rz = rz_r[:].reshape(1, -1)
+    w = w_r[:].reshape(1, -1)
+
+    ax = _hat_rows(fx, rx, w, rows_p, 0, px, splat)              # [rows_p, C]
+    # column j = jy * cz + jz over the pooled (y, z) plane; this program
+    # handles the ``col_tile`` columns starting at program_id(0) * col_tile
+    c = fx.shape[1]
+    jcol = (pl.program_id(0) * col_tile
+            + jax.lax.broadcasted_iota(jnp.int32, (col_tile, c), 0))
+    jy, jz = jcol // cz, jcol % cz
+
+    def hat(f, r, pool, col):
+        if splat == "nearest":
+            n = jnp.where(r > 0.5, f + 1, f)
+            if pool > 1:
+                n = n // pool
+            return jnp.where(col == n, 1.0, 0.0)
+        d0 = f
+        d1 = f + 1
+        if pool > 1:
+            d0, d1 = d0 // pool, d1 // pool
+        return (jnp.where(col == d0, 1.0 - r, 0.0)
+                + jnp.where(col == d1, r, 0.0))
+
+    ayz = hat(fy, ry, py, jy) * hat(fz, rz, pz, jz)              # [col_tile, C]
+
+    m = jax.lax.dot_general(ax.astype(mxu_dtype), ayz.astype(mxu_dtype),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += m
+
+
+@partial(jax.jit, static_argnames=("cx", "cy", "cz", "px", "py", "pz",
+                                   "splat", "chunk", "interpret", "mxu_dtype",
+                                   "precision"))
+def dense_hist(fx, fy, fz, rx, ry, rz, w, *, cx: int, cy: int, cz: int,
+               px: int = 1, py: int = 1, pz: int = 1,
+               splat: str = "trilinear", chunk: int = 1024,
+               interpret: bool | None = None,
+               mxu_dtype: str = "float32",
+               precision: str | None = None):
+    """Dense (optionally pooled) vote histogram [cx, cy, cz] accumulated
+    entirely in VMEM: per C-vote chunk, one x one-hot [cx, C] contracts a
+    combined (y, z) one-hot [cy*cz, C] on the MXU (the VERDICT-r2 slab
+    scheme, with the whole pooled plane as the slab).
+
+    Inputs are flat [V] vote vectors (same contract as bound_projections:
+    padding votes carry w=0, floors pre-clipped).  ``px/py/pz`` pool the
+    axes by integer factors — the trilinear corner mass is pooled exactly
+    (both hat corners land in their pooled cells), so the pooled histogram
+    equals pool-summing the fine one.
+
+    Cost is O(V · cy·cz) compare ops + O(V · cx·cy·cz / C) MXU MACs: right
+    for instance-crop grids and pooled whole-frame grids (cy·cz up to a few
+    thousand), NOT for unpooled whole-frame grids — pair that case with
+    pooling + per-window fine passes (eval/zero_shot.py sparse mode).
+
+    The (y,z) plane is tiled into ≤``col_tile`` column strips (grid dim 0,
+    vote chunks inner on dim 1) so per-step VMEM stays ≤ ~4 MB whatever the
+    plane size; each strip only compares against its own columns, so total
+    compare work is plane-size-invariant — only the vote vectors are
+    re-streamed from HBM per strip (7·V·4 bytes each).
+
+    Precision: the TPU MXU computes f32 matmuls via bf16 passes at default
+    precision, so even ``mxu_dtype="float32"`` carries ~2^-9 relative error
+    vs the XLA scatter (measured 2e-3 max-rel on a 480k-vote grid) —
+    irrelevant for heatmap consumers (proposal extraction thresholds).
+    Pass ``precision="highest"`` for exact-f32 operand handling.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    v = fx.shape[0]
+    assert v % chunk == 0, (v, chunk)
+    cols = cy * cz
+    assert cols <= 65536, f"pooled yz plane unreasonably large ({cy}x{cz})"
+    rows_p = _round_up(cx, 8)
+    cols_pp = _round_up(cols, 128)
+    # strip width: keep the [col_tile, chunk] one-hot ≤ ~4 MB of VMEM
+    col_tile = min(cols_pp, max(128, (1 << 20) // chunk // 128 * 128))
+    n_tiles = -(-cols_pp // col_tile)
+    cols_pp = n_tiles * col_tile
+    spec = pl.BlockSpec((chunk,), lambda j, i: (i,), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_dense_kernel, cz=cz, px=px, py=py, pz=pz,
+                rows_p=rows_p, col_tile=col_tile, splat=splat,
+                mxu_dtype=jnp.dtype(mxu_dtype), precision=precision),
+        grid=(n_tiles, v // chunk),
+        in_specs=[spec] * 7,
+        out_specs=pl.BlockSpec((rows_p, col_tile), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_p, cols_pp), jnp.float32),
+        interpret=interpret,
+    )(fx, fy, fz, rx, ry, rz, w)
+    return out[:cx, :cols].reshape(cx, cy, cz)

@@ -78,6 +78,8 @@ def sharded_ppf_vote(
     grid_shape: Tuple[int, int, int],
     n_rots: int = 72,
     adaptive: bool = False,
+    pair_mask: Optional[jnp.ndarray] = None,
+    splat: str = "trilinear",
 ) -> jnp.ndarray:
     """Pair-sharded center voting: each device accumulates votes for its pair
     shard into a local grid replica; one ``psum`` over the pair axis merges
@@ -94,7 +96,9 @@ def sharded_ppf_vote(
     pad = (-p) % n_shards
     point_idxs = jnp.pad(point_idxs, ((0, pad), (0, 0)))
     preds_tr = jnp.pad(preds_tr, ((0, pad), (0, 0)))
-    pair_mask = jnp.pad(jnp.ones((p,), bool), (0, pad))
+    if pair_mask is None:
+        pair_mask = jnp.ones((p,), bool)
+    pair_mask = jnp.pad(pair_mask, (0, pad))
 
     @partial(
         shard_map,
@@ -106,8 +110,67 @@ def sharded_ppf_vote(
     def _vote(pc_, preds_tr_, probs_, idxs_, corner_, dims_, mask_):
         local = ppf_vote(
             pc_, preds_tr_, probs_, idxs_, corner_, res, dims_, grid_shape,
-            n_rots=n_rots, adaptive=adaptive, pair_mask=mask_,
+            n_rots=n_rots, adaptive=adaptive, pair_mask=mask_, splat=splat,
         )
         return jax.lax.psum(local, PAIR_AXIS)
 
     return _vote(pc, preds_tr, probs, point_idxs, corner, grid_dims, pair_mask)
+
+
+def sharded_ppf_vote_peak(
+    mesh: Mesh,
+    pc: jnp.ndarray,
+    preds_tr: jnp.ndarray,
+    probs: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    corner: jnp.ndarray,
+    res: float,
+    grid_dims: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    n_rots: int = 72,
+    adaptive: bool = False,
+    pair_mask: Optional[jnp.ndarray] = None,
+    splat: str = "trilinear",
+    max_rounds: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pair-sharded branch-and-bound grid peak — the multi-device form of the
+    production fast path (:func:`cppf_tpu.ops.voting.ppf_vote_peak`).
+
+    Each device computes the bound projections and refine windows over its
+    pair shard; both are **sums over votes**, so they merge with a ``psum``
+    (injected via ``ppf_vote_peak``'s ``reduce_fn`` hook).  After each psum
+    every device holds identical accumulators and therefore runs identical
+    refine-loop control flow — no divergence, no gather of vote data.
+    Matches the single-device peak up to f32 summation order.
+    """
+    from functools import partial
+
+    from jax import shard_map
+
+    from cppf_tpu.ops.voting import ppf_vote_peak
+
+    n_shards = mesh.shape[PAIR_AXIS]
+    p = point_idxs.shape[0]
+    pad = (-p) % n_shards
+    point_idxs = jnp.pad(point_idxs, ((0, pad), (0, 0)))
+    preds_tr = jnp.pad(preds_tr, ((0, pad), (0, 0)))
+    if pair_mask is None:
+        pair_mask = jnp.ones((p,), bool)
+    pair_mask = jnp.pad(pair_mask, (0, pad))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(PAIR_AXIS), P(), P(PAIR_AXIS), P(), P(), P(PAIR_AXIS)),
+        out_specs=(P(), P()),
+    )
+    def _peak(pc_, preds_tr_, probs_, idxs_, corner_, dims_, mask_):
+        return ppf_vote_peak(
+            pc_, preds_tr_, probs_, idxs_, corner_, res, dims_, grid_shape,
+            n_rots=n_rots, adaptive=adaptive, pair_mask=mask_, splat=splat,
+            max_rounds=max_rounds,
+            reduce_fn=partial(jax.lax.psum, axis_name=PAIR_AXIS),
+        )
+
+    return _peak(pc, preds_tr, probs, point_idxs, corner, grid_dims, pair_mask)

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from cppf_tpu.parallel.mesh import PAIR_AXIS, sharded_ppf_vote
+from cppf_tpu.parallel.mesh import (
+    PAIR_AXIS,
+    sharded_ppf_vote,
+    sharded_ppf_vote_peak,
+)
 from cppf_tpu.pipeline.pose import (
     PoseConfig,
     PoseResult,
@@ -130,8 +134,10 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
                           nbr_idx=None) -> PoseResult:
     """Full 9D pose with the pair axis sharded over ``mesh``.
 
-    Matches single-device ``estimate_pose(..., center_mode="grid")`` with the
-    same rng up to float summation order.
+    Matches single-device ``estimate_pose`` with the same rng up to float
+    summation order, for both ``center_mode="grid"`` and the production
+    ``"hier"`` branch-and-bound fast path (psum'd bound projections + refine
+    windows — see :func:`cppf_tpu.parallel.mesh.sharded_ppf_vote_peak`).
     """
     from cppf_tpu.models.encoders import PointEncoder
     from cppf_tpu.ops.knn import knn_indices
@@ -167,23 +173,49 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
     odist = idx1.astype(pc.dtype) / (B - 1) * v1
     preds_tr = jnp.stack([proj_len, odist], -1)
 
-    # ---- sharded center vote (grid mode + psum) ----------------------------
+    # ---- sharded center vote ----------------------------------------------
     big = jnp.asarray(1e9, pc.dtype)
     corner = jnp.min(jnp.where(valid_mask[:, None], pc, big), 0)
     top = jnp.max(jnp.where(valid_mask[:, None], pc, -big), 0)
     grid_dims = ((top - corner) / pcfg.res).astype(jnp.int32) + 1
     grid_dims = jnp.minimum(grid_dims, jnp.array(pcfg.grid_shape, jnp.int32))
     probs = jnp.ones((n,), pc.dtype)
-    grid = sharded_ppf_vote(mesh, pc, preds_tr, probs, point_idxs, corner,
-                            pcfg.res, grid_dims, pcfg.grid_shape,
-                            n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting)
-    T_est = grid_argmax(grid, corner, pcfg.res)
-    grid_max = jnp.max(grid)
+    # coplanar-pair filter (replicated per-pair math; same formula and 5%
+    # starvation guard as pipeline.pose.vote_pose)
+    base_mask = jnp.ones((point_idxs.shape[0],), dtype=bool)
+    if pcfg.filter_coplanar:
+        n1 = pc_normal[point_idxs[:, 0]]
+        n2 = pc_normal[point_idxs[:, 1]]
+        ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
+        abu = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
+        coplanar = (
+            (jnp.abs(jnp.sum(n1 * n2, -1)) > 0.9)
+            & (jnp.abs(jnp.sum(abu * n1, -1)) < 0.1)
+            & (jnp.abs(jnp.sum(abu * n2, -1)) < 0.1)
+        )
+        keep = ~coplanar
+        base_mask = keep | (jnp.mean(keep.astype(pc.dtype)) < 0.05)
+    if pcfg.center_mode == "hier":
+        peak_idx, grid_max = sharded_ppf_vote_peak(
+            mesh, pc, preds_tr, probs, point_idxs, corner, pcfg.res,
+            grid_dims, pcfg.grid_shape, n_rots=pcfg.num_rots,
+            adaptive=pcfg.adaptive_voting, pair_mask=base_mask,
+            splat=pcfg.splat, max_rounds=pcfg.peak_rounds)
+        T_est = corner + peak_idx.astype(pc.dtype) * pcfg.res
+    else:
+        grid = sharded_ppf_vote(mesh, pc, preds_tr, probs, point_idxs, corner,
+                                pcfg.res, grid_dims, pcfg.grid_shape,
+                                n_rots=pcfg.num_rots,
+                                adaptive=pcfg.adaptive_voting,
+                                pair_mask=base_mask, splat=pcfg.splat)
+        T_est = grid_argmax(grid, corner, pcfg.res)
+        grid_max = jnp.max(grid)
 
     # ---- sharded back-vote -------------------------------------------------
     _, pair_mask = sharded_backvote(mesh, pc, preds_tr, point_idxs, corner,
                                     pcfg.res, grid_dims, T_est, 3.0 * pcfg.res,
                                     n_rots=pcfg.num_rots)
+    pair_mask = pair_mask & base_mask
 
     # ---- axes (sharded sphere histograms) ----------------------------------
     up = _vote_axis_sharded(mesh, rng_up, pc, pc_normal, point_idxs, pair_mask,

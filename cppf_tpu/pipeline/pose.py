@@ -73,6 +73,17 @@ class PoseConfig:
     # scale assembly multiplier: 2 for NOCS (reference nocs/inference.py:335),
     # 1 for SUN RGB-D (reference sunrgbd/inference.py:281)
     scale_multiplier: float = 2.0
+    # Drop coplanar-indistinguishable pairs from voting (both normals
+    # parallel and both perpendicular to the pair axis — the zero-shot
+    # notebook's cell-6 filter, reference nocs/zero_shot.ipynb).  Such a
+    # pair's vote circle passes through the true center AND its mirror
+    # across the shared plane, so plane-dominated views (tables, beds seen
+    # from above) split the center vote between the two symmetric peaks —
+    # measured on SUN categories as meter-scale T errors even with a
+    # GT-oracle network.  The reference's SUN driver does NOT filter
+    # (sunrgbd/inference.py has no cell-6 analogue) and inherits the
+    # ambiguity; this is a capability improvement over it.
+    filter_coplanar: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -94,6 +105,7 @@ class PoseConfig:
             adaptive_voting=cfg.adaptive_voting,
             grid_shape=(g, g, g),
             scale_multiplier=scale_multiplier,
+            filter_coplanar=cfg.filter_coplanar,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -261,18 +273,36 @@ def vote_pose(
     grid_dims = jnp.minimum(grid_dims, jnp.array(pcfg.grid_shape, jnp.int32))
     if probs is None:
         probs = jnp.ones((n,), pc.dtype)
+    base_mask = jnp.ones((point_idxs.shape[0],), dtype=bool)
+    if pcfg.filter_coplanar:
+        # coplanar-indistinguishable pairs (see PoseConfig.filter_coplanar):
+        # both normals parallel and both ⟂ the pair axis → their vote circle
+        # hits the mirrored center too.  Disable the filter when it would
+        # leave <5% of pairs (pure-plane views: ambiguity is then inherent
+        # and a starved vote is worse than a mirrored one).
+        n1 = pc_normal[point_idxs[:, 0]]
+        n2 = pc_normal[point_idxs[:, 1]]
+        ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
+        abu = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
+        coplanar = (
+            (jnp.abs(jnp.sum(n1 * n2, -1)) > 0.9)
+            & (jnp.abs(jnp.sum(abu * n1, -1)) < 0.1)
+            & (jnp.abs(jnp.sum(abu * n2, -1)) < 0.1)
+        )
+        keep = ~coplanar
+        base_mask = keep | (jnp.mean(keep.astype(pc.dtype)) < 0.05)
     if pcfg.center_mode == "hier":
         peak_idx, grid_max = ppf_vote_peak(
             pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
             pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
-            splat=pcfg.splat, max_rounds=pcfg.peak_rounds,
+            splat=pcfg.splat, max_rounds=pcfg.peak_rounds, pair_mask=base_mask,
         )
         T_est = corner + peak_idx.astype(pc.dtype) * pcfg.res
     else:
         grid = ppf_vote(
             pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
             pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
-            splat=pcfg.splat,
+            splat=pcfg.splat, pair_mask=base_mask,
         )
         T_est = grid_argmax(grid, corner, pcfg.res)
         grid_max = jnp.max(grid)
@@ -282,6 +312,7 @@ def vote_pose(
         pc, preds_tr, point_idxs, corner, pcfg.res, grid_dims, T_est,
         3.0 * pcfg.res, n_rots=pcfg.num_rots,
     )
+    pair_mask = pair_mask & base_mask
 
     # --- orientation axes ----------------------------------------------------
     up = _vote_axis(

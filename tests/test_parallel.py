@@ -46,9 +46,15 @@ def test_dryrun_multichip_entry():
     __graft_entry__.dryrun_multichip(8)
 
 
-def test_sharded_estimate_pose_matches_single(rng):
+import pytest
+
+
+@pytest.mark.parametrize("center_mode", ["grid", "hier"])
+def test_sharded_estimate_pose_matches_single(rng, center_mode):
     """The pair-sharded full pose program reproduces the single-device pose
-    (same rng; grid center mode) up to float summation order."""
+    (same rng) up to float summation order — in reference-shaped ``grid``
+    mode AND the production branch-and-bound ``hier`` fast path (psum'd
+    bound projections / refine windows)."""
     from cppf_tpu.config import load_config
     from cppf_tpu.data.synthetic import PRIMITIVES, sample_surface
     from cppf_tpu.parallel.pose import sharded_estimate_pose
@@ -58,7 +64,7 @@ def test_sharded_estimate_pose_matches_single(rng):
     cfg = load_config("mug")  # regress_right exercises both axis votes
     pcfg = PoseConfig.from_config(cfg, n_pairs=2048)
     pcfg = PoseConfig(**{**pcfg.__dict__, "rot_subsample": 512, "num_rots": 16,
-                         "knn": 16, "center_mode": "grid",
+                         "knn": 16, "center_mode": center_mode,
                          "grid_shape": (48, 48, 48)})
 
     pc_cam = sample_surface(PRIMITIVES["mug"](), 1500, rng).astype(np.float32) \

@@ -107,3 +107,49 @@ def test_extract_proposals_host():
     assert len(props) == 2
     np.testing.assert_allclose(props[0][0], [0.10, 0.10, 0.10], atol=1e-6)
     np.testing.assert_allclose(props[1][0], [0.30, 0.25, 0.20], atol=1e-6)
+
+
+def test_sparse_heatmap_proposals_match_dense(rng):
+    """The two-pass Pallas sparse heatmap yields the same proposals as the
+    dense scatter grid (the zero-shot consumer contract)."""
+    import jax.numpy as jnp
+
+    from cppf_tpu.config import load_config
+    from cppf_tpu.eval.zero_shot import _sparse_frame_grid, extract_proposals_host
+    from cppf_tpu.ops.voting import ppf_vote
+
+    cfg = load_config("can")
+    res = 16e-3  # coarse: keeps the CPU interpret-mode kernels quick
+    depth, centers, _ = _two_object_depth()
+    pc_full, _ = __import__("cppf_tpu.core.geometry", fromlist=["backproject"]).backproject(
+        depth, TRAIN_INTRINSICS, depth > 0)
+    pc_full = pc_full / 1000.0
+    pc_full[:, 0] = -pc_full[:, 0]
+    pc_full[:, 1] = -pc_full[:, 1]
+    pick = rng.choice(len(pc_full), 1500, replace=False)
+    pc = pc_full[pick].astype(np.float32)
+    n = len(pc)
+    idxs = rng.integers(0, n, (4000, 2)).astype(np.int32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    preds = _oracle_predict(centers, cfg)(pc, nrm, idxs)
+    preds_tr = preds[:, :2].astype(np.float32)
+
+    corner = pc.min(0)
+    dims = ((pc.max(0) - corner) / res).astype(np.int32) + 1
+    gshape = tuple(int(np.ceil(d / 8) * 8) for d in dims)
+    dense = np.asarray(ppf_vote(
+        jnp.asarray(pc), jnp.asarray(preds_tr), jnp.ones(n, np.float32),
+        jnp.asarray(idxs), jnp.asarray(corner), res, jnp.asarray(dims),
+        gshape, n_rots=12, adaptive=True,
+    ))[: dims[0], : dims[1], : dims[2]]
+    sparse = _sparse_frame_grid(pc, preds_tr, idxs, corner, dims, res,
+                                num_rots=12, n_cands=6, window=16,
+                                coarse_pool=4, pair_budget=4096)
+
+    p_dense = extract_proposals_host(dense, corner, res, thresh=10.0)
+    p_sparse = extract_proposals_host(sparse, corner, res, thresh=10.0)
+    assert len(p_dense) == len(p_sparse) >= 2, (len(p_dense), len(p_sparse))
+    for (cd, dd), (cs, ds) in zip(p_dense, p_sparse):
+        np.testing.assert_allclose(cd, cs, atol=2 * res)
+        np.testing.assert_allclose(dd, ds, rtol=0.05)
