@@ -263,8 +263,13 @@ def main(argv=None):
                 for k in range(0, len(items), args.max_batch):
                     chunk = items[k:k + args.max_batch]
                     rng, r_chunk = jax.random.split(rng)
+                    # bucket to the next power of two instead of always
+                    # max_batch: a frame with 2 bottles runs a B=2 program,
+                    # not 4 poses (at most log2(max_batch)+1 compiled shapes
+                    # per category, persisted by the compilation cache)
+                    pad_to = 1 << (len(chunk) - 1).bit_length()
                     out, _ = runner.estimate_batch(r_chunk, [pc for _, pc in chunk],
-                                                   pad_to=args.max_batch)
+                                                   pad_to=pad_to)
                     RT_np = np.asarray(out.RT)
                     sc_np = np.asarray(out.scale_unit)
                     for b, (i, _) in enumerate(chunk):

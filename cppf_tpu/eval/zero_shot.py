@@ -386,6 +386,10 @@ def main(argv=None):
     parser.add_argument("--depth", default="data/demo/0000_depth.png")
     parser.add_argument("--out", default="zero_shot_vis.png")
     parser.add_argument("--n_pairs", type=int, default=5000000)
+    parser.add_argument("--params_name", default=None,
+                        help="checkpoint state to load (default: params_zs "
+                             "if present — the proposal-contrast-selected "
+                             "state — else params_best/best)")
     args = parser.parse_args(argv)
 
     import cv2
@@ -404,7 +408,15 @@ def main(argv=None):
     snap = os.path.join(args.ckpt, "config.yaml")
     cfg = load_config("bowl", snapshot=snap if os.path.exists(snap) else None)
     cfg.cls_bins = False
-    params = maybe_load_any(args.ckpt, name="params_best") or maybe_load_any(args.ckpt, name="best")
+    if args.params_name:
+        params = maybe_load_any(args.ckpt, name=args.params_name)
+    else:
+        # prefer the proposal-contrast-selected state: best-train-loss
+        # selection provably destroys the zero-shot regime (round-2
+        # postmortem; eval/contrast_val.py)
+        params = (maybe_load_any(args.ckpt, name="params_zs")
+                  or maybe_load_any(args.ckpt, name="params_best")
+                  or maybe_load_any(args.ckpt, name="best"))
     assert params is not None, f"no checkpoint under {args.ckpt}"
 
     depth = cv2.imread(args.depth, -1)

@@ -415,15 +415,27 @@ def estimate_pose_batch(
     pcfg: PoseConfig,
     nbr_idxs: jnp.ndarray | None = None,
 ) -> PoseResult:
-    """Multi-instance batched pose estimation (vmap over instances).
+    """Multi-instance batched pose estimation (one compiled program).
 
     The reference processes instances in a serial Python loop
     (nocs/inference.py:120); here a whole frame's crops run as one program.
+    Instances iterate via ``lax.map`` rather than ``vmap``: each instance's
+    voting ops already fill the chip, so batching buys dispatch/RPC
+    amortisation (one device call per frame group), not parallelism — and
+    the hier center path's Pallas kernels tile flat [V] vote blocks that
+    vmap's injected batch dim cannot legally block (TPU blocks must keep
+    the last two dims (8,128)-aligned).
     rngs [B,2] PRNG keys; pcs [B,N,3]; returns a PoseResult of stacked leaves.
     """
 
-    def one(rng, pc, nrm, nv, nbr):
+    def one(args):
+        rng, pc, nrm, nv, nbr = args
         return estimate_pose(rng, point_params, ppf_params, pc, nrm, nv,
                              sphere_pts, pcfg, nbr_idx=nbr)
 
-    return jax.vmap(one)(rngs, pcs, pc_normals, n_valids, nbr_idxs)
+    if nbr_idxs is None:
+        def one_no_nbr(args):
+            return one((*args, None))
+
+        return jax.lax.map(one_no_nbr, (rngs, pcs, pc_normals, n_valids))
+    return jax.lax.map(one, (rngs, pcs, pc_normals, n_valids, nbr_idxs))
