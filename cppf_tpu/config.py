@@ -73,6 +73,26 @@ class Config:
     # its right-axis failures on mug/camera trace back to).
     aux_weighted: bool = True
 
+    # Inference-side axis-voting robustness for near-revolution bodies (no
+    # reference counterpart; see pipeline/pose.py::PoseConfig for the full
+    # rationale).  sharp_axis_votes: weight cone votes by the pair's angle-
+    # distribution confidence.  aux_align_weight: weight the ± aux-bit
+    # disambiguation by |n_canon·axis| target reliability.
+    sharp_axis_votes: bool = False
+    aux_align_weight: bool = False
+    # Geometric right-axis focus: bias the right-axis cone-vote subsample and
+    # aux disambiguation toward pairs touching radially-protruding geometry
+    # (handle/lens) about the voted up axis.  For near-revolution
+    # regress_right categories (mug, camera); see PoseConfig.asym_right_votes.
+    asym_right_votes: bool = False
+
+    # Train-side: additionally scale the right-bit aux weight by the pair's
+    # radial-asymmetry score (core/targets.py::radial_asymmetry) so only
+    # symmetry-breaking geometry (handle, lens) teaches the bit.  For
+    # near-revolution regress_right categories; |n·right| alone concentrates
+    # the weight on azimuth-ambiguous wall pairs whose bit is unlearnable.
+    aux_asym: bool = False
+
     # Zero-shot proposal-contrast validation cadence (epochs; 0 = off).
     # Regression-variant (cls_bins=False) training only: every N epochs a
     # fixed cluttered synthetic scene is scored by the proposal extractor

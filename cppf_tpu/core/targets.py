@@ -41,6 +41,69 @@ def sample_pair_idxs(rng: jax.Array, n_points, n_pairs: int) -> jnp.ndarray:
     return jnp.minimum((u * n_points).astype(jnp.int32), n_points - 1)
 
 
+def radial_asymmetry(pc: jnp.ndarray, n_valid, n_bins: int = 12) -> jnp.ndarray:
+    """Per-point symmetry-breaking score for canonical-frame clouds, [N] in [0,1].
+
+    For a near-revolution body the sign of n·right is azimuth-dependent and
+    locally indistinguishable, so |n·right| marks exactly the UNLEARNABLE
+    pairs (measured: mug right-bit weighted P(bit=1)≈0.5 at every |n·right|
+    level).  The pairs that actually determine the right axis touch the
+    symmetry-BREAKING geometry — the mug handle, the camera lens.  This
+    scores each point by how far it protrudes beyond the body-of-revolution
+    radius of its height slab: per y-bin masked mean/std of the axial radius
+    √(x²+z²), score = clip(((r−mean)/σ − 1)/2, 0, 1).  No reference
+    counterpart (the reference trains the bit unweighted, to chance, on
+    these families).
+    """
+    mask = (jnp.arange(pc.shape[0]) < n_valid)
+    r = jnp.sqrt(pc[:, 0] ** 2 + pc[:, 2] ** 2)
+    return _profile_excess(pc[:, 1], r, mask, n_bins, pc.dtype)
+
+
+def radial_asymmetry_about(
+    pc: jnp.ndarray,
+    center: jnp.ndarray,
+    axis: jnp.ndarray,
+    n_valid,
+    n_bins: int = 12,
+) -> jnp.ndarray:
+    """:func:`radial_asymmetry` about an arbitrary (center, axis) line, [N].
+
+    The inference-side form: after the center grid peak and the up-axis
+    sphere vote, score each observed point by how far it protrudes beyond
+    the revolution radius of its height slab about the estimated up axis —
+    picking out the handle/lens geometry that alone determines the right
+    axis of a near-revolution body.  Purely geometric (no canonical frame
+    needed); sign of ``axis`` is irrelevant (slabs reverse, scores don't).
+    """
+    mask = (jnp.arange(pc.shape[0]) < n_valid)
+    d = pc - center[None, :]
+    h = jnp.sum(d * axis[None, :], -1)
+    radial = d - h[:, None] * axis[None, :]
+    r = jnp.linalg.norm(radial, axis=-1)
+    return _profile_excess(h, r, mask, n_bins, pc.dtype)
+
+
+def _profile_excess(height, r, mask, n_bins: int, dtype) -> jnp.ndarray:
+    """Shared core: per-height-slab (mean, σ) of the axial radius; score
+    = clip(((r−mean)/σ − 1)/2, 0, 1), masked."""
+    mf = mask.astype(dtype)
+    big = jnp.asarray(1e9, dtype)
+    y_lo = jnp.min(jnp.where(mask, height, big))
+    y_hi = jnp.max(jnp.where(mask, height, -big))
+    t = (height - y_lo) / jnp.maximum(y_hi - y_lo, 1e-6)
+    b = jnp.clip((t * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    onehot = (b[:, None] == jnp.arange(n_bins)[None, :]).astype(dtype) * mf[:, None]
+    cnt = jnp.sum(onehot, 0)                      # [n_bins]
+    mean = jnp.sum(onehot * r[:, None], 0) / jnp.maximum(cnt, 1.0)
+    var = jnp.sum(onehot * (r[:, None] - mean[None, :]) ** 2, 0) / jnp.maximum(cnt, 1.0)
+    # floor the deviation scale so a perfectly clean slab doesn't flag
+    # voxel-level jitter as asymmetry
+    sigma = jnp.sqrt(var) + 0.03 * jnp.maximum(jnp.sum(mf * r) / jnp.maximum(jnp.sum(mf), 1.0), 1e-6)
+    excess = (r - mean[b]) / sigma[b]
+    return jnp.clip((excess - 1.0) * 0.5, 0.0, 1.0) * mf
+
+
 def generate_targets(
     pc: jnp.ndarray,
     pc_normal: jnp.ndarray,
@@ -48,10 +111,15 @@ def generate_targets(
     up_sym: bool = False,
     right_sym: bool = False,
     z_right: bool = False,
+    asym: jnp.ndarray | None = None,
 ) -> VotingTargets:
     """Pair voting labels for a canonical-frame point cloud.
 
     pc/pc_normal: [N, 3]; point_idxs: [P, 2] int.  Symmetry flags are static.
+    ``asym`` ([N], optional): per-point :func:`radial_asymmetry` scores; when
+    given, the right-bit aux weight is additionally scaled by the pair's
+    symmetry-breaking score so near-revolution wall pairs (whose bit is
+    azimuth-noise) stop dragging the head to chance.
     """
     a = pc[point_idxs[:, 0]]
     b = pc[point_idxs[:, 1]]
@@ -93,7 +161,13 @@ def generate_targets(
     # labels drags the aux head to chance.  The loss weights the BCE by this
     # so only pairs whose geometry determines the bit teach it (no reference
     # counterpart — the reference's unweighted BCE has the same failure).
-    aux_weight = jnp.stack([jnp.abs(up_dot_n), jnp.abs(right_dot_n)], -1)
+    w_up = jnp.abs(up_dot_n)
+    w_right = jnp.abs(right_dot_n)
+    if asym is not None:
+        pair_asym = jnp.maximum(asym[point_idxs[:, 0]], asym[point_idxs[:, 1]])
+        # small floor keeps a trickle of gradient from ordinary pairs
+        w_right = w_right * (0.05 + 0.95 * pair_asym)
+    aux_weight = jnp.stack([w_up, w_right], -1)
     return VotingTargets(target_tr, target_rot, target_aux,
                          point_idxs.astype(jnp.int32), aux_weight)
 

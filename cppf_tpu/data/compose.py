@@ -177,8 +177,13 @@ def random_bottle(rng) -> Mesh:
         cap_r = neck_r * rng.uniform(1.1, 1.4)
         cap = make_lathe([(1.0, cap_r), (1.0 + rng.uniform(0.03, 0.08), cap_r)])
         mesh = _merge(mesh, cap)
-    if _maybe(rng, 0.3):  # flask squash
-        mesh = squash(mesh, 1.0, rng.uniform(0.45, 0.85))
+    if _maybe(rng, 0.15):  # slightly out-of-round (manufacturing), NOT flasks:
+        # bottle trains up_sym, and a strongly elliptic body makes the
+        # (proj_len, dist2o, scale) targets azimuth-dependent while the
+        # SE(3)-invariant features cannot observe azimuth — irreducible label
+        # noise that round-3 measured as 43 mm T / 45 % scale error (the
+        # 0.45-0.85 flask squash of the first compositional family)
+        mesh = squash(mesh, 1.0, rng.uniform(0.9, 0.98))
     return displace(mesh, rng, rng.uniform(0.0, 0.01))
 
 
@@ -230,7 +235,8 @@ def random_bowl(rng) -> Mesh:
                           close_top=False)
         mesh = _merge(mesh, foot)
     if _maybe(rng, 0.25):
-        mesh = squash(mesh, 1.0, rng.uniform(0.75, 0.95))
+        # mild out-of-round only — bowl also trains up_sym (see random_bottle)
+        mesh = squash(mesh, 1.0, rng.uniform(0.9, 0.98))
     return displace(mesh, rng, rng.uniform(0.0, 0.008))
 
 

@@ -62,6 +62,13 @@ class CategoryRunner:
         self.cfg.num_rots = args.num_rots
         self.cfg.angle_prec = args.angle_prec
         self.cfg.adaptive_voting = args.adaptive_voting
+        # Inference-only capability flags are NOT training-time parameters:
+        # overlay them from the current repo category config so checkpoints
+        # trained before a flag existed still benefit (the snapshot governs
+        # everything that must match training — bins, symmetry, ranges).
+        repo_cfg = load_config(cls_name)
+        for k in ("asym_right_votes",):
+            setattr(self.cfg, k, getattr(repo_cfg, k))
         self.pcfg = PoseConfig.from_config(self.cfg, scale_multiplier=2.0)
         self.sphere = jnp.array(self.pcfg.sphere_points())
 

@@ -686,6 +686,7 @@ def rot_vote_sphere_count(
     cos_tol,
     n_rots: int = 72,
     chunk: int = 1024,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused :func:`rot_vote` → :func:`sphere_bin_count`.
 
@@ -695,6 +696,10 @@ def rot_vote_sphere_count(
     immediately — the dense [P, n_rots, 3] tensor (tile-padded ~42x on TPU)
     never exists.  Degenerate pairs contribute zero counts, matching the
     zero axes rot_vote emits for them (cos 0 < cos_tol).
+
+    ``weights`` ([P], optional) scales each pair's cone-vote contribution —
+    used for confidence-weighted axis voting (no reference counterpart: the
+    reference counts every candidate equally, nocs/inference.py:281-284).
     """
     p = point_idxs.shape[0]
     n_chunks = (p + chunk - 1) // chunk
@@ -702,6 +707,7 @@ def rot_vote_sphere_count(
     idxs_p = jnp.pad(point_idxs, ((0, pad), (0, 0)))
     rot_p = jnp.pad(preds_rot, (0, pad))
     pair_ok = jnp.pad(jnp.ones((p,), bool), (0, pad))
+    w_p = None if weights is None else jnp.pad(weights.astype(jnp.float32), (0, pad))
     s0, s1, s2 = (sphere_pts[:, k].astype(jnp.float32) for k in range(3))
     i = jnp.arange(n_rots, dtype=pc.dtype)
     cos_a, sin_a = jnp.cos(i * (TWO_PI / n_rots)), jnp.sin(i * (TWO_PI / n_rots))
@@ -724,7 +730,11 @@ def rot_vote_sphere_count(
         ux, uy, uz = (jnp.where(w, c / norm, 0.0).reshape(-1) for c in comps)
         cos = (ux[:, None] * s0[None, :] + uy[:, None] * s1[None, :]
                + uz[:, None] * s2[None, :])                        # [C·R, S]
-        return counts + jnp.sum((cos > cos_tol).astype(jnp.float32), 0)
+        hits = (cos > cos_tol).astype(jnp.float32)
+        if w_p is not None:
+            wk = jnp.broadcast_to(sl(w_p)[:, None], (chunk, n_rots)).reshape(-1)
+            return counts + jnp.sum(hits * wk[:, None], 0)
+        return counts + jnp.sum(hits, 0)
 
     counts = jnp.zeros((sphere_pts.shape[0],), jnp.float32)
     return lax.fori_loop(0, n_chunks, body, counts)

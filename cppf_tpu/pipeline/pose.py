@@ -84,6 +84,28 @@ class PoseConfig:
     # (sunrgbd/inference.py has no cell-6 analogue) and inherits the
     # ambiguity; this is a capability improvement over it.
     filter_coplanar: bool = False
+    # Weight each pair's cone votes on the axis sphere by the confidence
+    # (max softmax prob) of its predicted angle distribution.  On
+    # near-revolution bodies most pairs' angle-to-right is azimuth-ambiguous
+    # (the conditional is diffuse) and their uniform cone votes bury the few
+    # handle/lens-anchored sharp votes; the reference counts all candidates
+    # equally (nocs/inference.py:281-284) and inherits the failure.
+    sharp_axis_votes: bool = False
+    # Weight the aux-bit disambiguation BCE by |n_canon·axis|: a pair whose
+    # canonicalised normal is near-perpendicular to the candidate axis has a
+    # noise sign target (same argument as the train-side aux_weight,
+    # core/targets.py), and 100k of those can out-vote the informative few.
+    aux_align_weight: bool = False
+    # Geometric right-axis focus for near-revolution bodies: after the center
+    # peak and the up vote, score every point's radial protrusion about the
+    # estimated up axis (core/targets.py::radial_asymmetry_about) and bias the
+    # right-axis cone-vote subsample and aux disambiguation toward pairs that
+    # touch the symmetry-breaking geometry (mug handle, camera lens).  Pairs
+    # on the revolution wall cannot know the right angle from SE(3)-invariant
+    # features (azimuth-ambiguous targets); the reference samples pairs
+    # uniformly (nocs/inference.py:277-279) and inherits ~chance right axes
+    # on these categories.  Purely inference-side, no retraining needed.
+    asym_right_votes: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -106,6 +128,9 @@ class PoseConfig:
             grid_shape=(g, g, g),
             scale_multiplier=scale_multiplier,
             filter_coplanar=cfg.filter_coplanar,
+            sharp_axis_votes=cfg.sharp_axis_votes,
+            aux_align_weight=cfg.aux_align_weight,
+            asym_right_votes=cfg.asym_right_votes,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -157,9 +182,15 @@ def _vote_axis(
     aux_logits: jnp.ndarray,
     sphere_pts: jnp.ndarray,
     pcfg: PoseConfig,
+    pair_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One orientation axis: rot-vote → sphere binning → aux sign flip
-    (reference nocs/inference.py:258-303)."""
+    (reference nocs/inference.py:258-303).
+
+    ``pair_weights`` ([P], optional): importance of each pair for THIS axis —
+    biases the cone-vote subsample distribution and weights the aux-bit
+    disambiguation (see PoseConfig.asym_right_votes).
+    """
     rng_bin, rng_sub = jax.random.split(rng)
     # subsample `rot_subsample` surviving pairs (reference nocs/inference.py:277-279);
     # if the back-vote filter killed everything, fall back to all pairs.
@@ -169,6 +200,8 @@ def _vote_axis(
     p = point_idxs.shape[0]
     any_alive = jnp.any(pair_mask)
     keep = (pair_mask | ~any_alive).astype(jnp.float32)
+    if pair_weights is not None:
+        keep = keep * pair_weights
     cdf = jnp.cumsum(keep)
     u = jax.random.uniform(rng_sub, (pcfg.rot_subsample,)) * cdf[-1]
     sub = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, p - 1)
@@ -178,7 +211,14 @@ def _vote_axis(
     bin_idx = jax.random.categorical(rng_bin, angle_logits[sub], axis=-1)
     angles_sub = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
     cos_tol = jnp.cos(jnp.deg2rad(pcfg.angle_prec))
-    if pcfg.pallas_sphere:
+    vote_w = None
+    if pcfg.sharp_axis_votes:
+        # confidence of each subsampled pair's angle prediction, rescaled so a
+        # uniform distribution weighs 0 and a one-hot weighs 1
+        probs = jax.nn.softmax(angle_logits[sub], axis=-1)
+        uniform = 1.0 / angle_logits.shape[-1]
+        vote_w = jnp.clip((jnp.max(probs, -1) - uniform) / (1.0 - uniform), 0.0, 1.0)
+    if pcfg.pallas_sphere and vote_w is None:
         from cppf_tpu.ops.pallas.sphere_count import sphere_bin_count_pallas
 
         cands = rot_vote(pc, angles_sub, sub_idxs, n_rots=pcfg.num_rots)
@@ -187,7 +227,8 @@ def _vote_axis(
         # fused: candidate axes stay componentwise, the [P, R, 3] tensor
         # (tile-padded ~42x) never reaches HBM
         counts = rot_vote_sphere_count(pc, angles_sub, sub_idxs, sphere_pts,
-                                       cos_tol, n_rots=pcfg.num_rots)
+                                       cos_tol, n_rots=pcfg.num_rots,
+                                       weights=vote_w)
     best_dir = sphere_pts[jnp.argmax(counts)]
 
     # aux disambiguation over *all* surviving pairs (reference :286-302)
@@ -195,9 +236,15 @@ def _vote_axis(
     ab_unit = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
     n_a = pc_normal[point_idxs[:, 0]]
     n_canon = n_a * jnp.where(jnp.sum(n_a * ab_unit, -1, keepdims=True) < 0, -1.0, 1.0)
-    target = (jnp.sum(n_canon * best_dir, -1) > 0).astype(pc.dtype)
-    up_loss = _bce_logits(aux_logits, target, pair_mask)
-    down_loss = _bce_logits(aux_logits, 1.0 - target, pair_mask)
+    align = jnp.sum(n_canon * best_dir, -1)
+    target = (align > 0).astype(pc.dtype)
+    aux_mask = pair_mask.astype(pc.dtype)
+    if pcfg.aux_align_weight:
+        aux_mask = aux_mask * jnp.abs(align)
+    if pair_weights is not None:
+        aux_mask = aux_mask * pair_weights
+    up_loss = _bce_logits(aux_logits, target, aux_mask)
+    down_loss = _bce_logits(aux_logits, 1.0 - target, aux_mask)
     return jnp.where(down_loss < up_loss, -best_dir, best_dir)
 
 
@@ -319,9 +366,19 @@ def vote_pose(
         rng_up, pc, pc_normal, point_idxs, pair_mask, up_logits, up_aux, sphere_pts, pcfg
     )
     if pcfg.regress_right:
+        right_w = None
+        if pcfg.asym_right_votes:
+            from cppf_tpu.core.targets import radial_asymmetry_about
+
+            asym = radial_asymmetry_about(pc, T_est, up, n_valid)
+            # small floor keeps a trickle of votes when the view hides the
+            # asymmetric geometry entirely (handle occluded)
+            right_w = 0.05 + 0.95 * jnp.maximum(
+                asym[point_idxs[:, 0]], asym[point_idxs[:, 1]]
+            )
         right = _vote_axis(
             rng_right, pc, pc_normal, point_idxs, pair_mask, right_logits,
-            right_aux, sphere_pts, pcfg,
+            right_aux, sphere_pts, pcfg, pair_weights=right_w,
         )
         right = orthonormal_right(up, right)
     else:

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from cppf_tpu.config import Config, load_config, parse_cli_overrides
-from cppf_tpu.core.targets import generate_targets, sample_pair_idxs, scale_target, soft_bin_targets
+from cppf_tpu.core.targets import (generate_targets, radial_asymmetry,
+                                   sample_pair_idxs, scale_target, soft_bin_targets)
 from cppf_tpu.data.shapenet import ShapeNetRenderDataset
 from cppf_tpu.pipeline.preprocess import preprocess_cloud
 from cppf_tpu.train import checkpoints
@@ -45,7 +46,8 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
     config: jitter → voxelize → normals → pairs → targets → soft bins."""
     key = (cfg.res, cfg.knn, cfg.train_pairs, cfg.up_sym, cfg.right_sym,
            cfg.z_right, cfg.cls_bins, tuple(cfg.vote_range), tuple(cfg.scale_mean),
-           cfg.tr_num_bins, cfg.rot_num_bins, npoint_pad, cfg.aux_weighted)
+           cfg.tr_num_bins, cfg.rot_num_bins, npoint_pad, cfg.aux_weighted,
+           cfg.aux_asym)
     if key in _PREP_CACHE:
         return _PREP_CACHE[key]
 
@@ -65,8 +67,11 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
             )
             normals = pre.normals * sign
             idxs = sample_pair_idxs(rng_pairs, pre.n_valid, cfg.train_pairs)
+            asym = (radial_asymmetry(pre.pc, pre.n_valid)
+                    if cfg.aux_asym else None)
             tgt = generate_targets(pre.pc, normals, idxs,
-                                   cfg.up_sym, cfg.right_sym, cfg.z_right)
+                                   cfg.up_sym, cfg.right_sym, cfg.z_right,
+                                   asym=asym)
             st = scale_target(bound, scale, cfg.scale_mean)
             if cfg.cls_bins:
                 tr_t, rot_t = soft_bin_targets(tgt, cfg.vote_range,

@@ -195,3 +195,44 @@ def test_laptop_up_override(rng):
     assert np.isfinite(np.asarray(res2.R)).all()
     RtR = np.asarray(res2.R).T @ np.asarray(res2.R)
     np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
+
+
+def test_oracle_pose_recovery_asym_right(rng):
+    """The asym_right_votes path (mug repo config) recovers BOTH axes from
+    oracle predictions: the asymmetry-weighted cone-vote subsample must not
+    break recovery when the network is exact, and the handle must survive
+    the radial-asymmetry weighting (it is the only right-defining geometry)."""
+    cfg = load_config("mug")
+    assert cfg.asym_right_votes  # repo config enables the capability
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, "mug")
+    lo, hi = mesh_bounds(mesh)
+    bound = (hi - lo).copy()
+    bound[[0, 2]] = bound[[2, 0]]
+
+    pad = np.zeros((4096, 3), np.float32)
+    pad[:4000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 4000, cfg.res,
+                           npoint_pad=2048, knn=cfg.knn, jitter=False)
+    n = int(pre.n_valid)
+    pc = np.asarray(pre.pc)
+    normals = np.asarray(pre.normals)
+
+    pcfg = PoseConfig.from_config(cfg, n_pairs=20000)
+    assert pcfg.asym_right_votes
+    idxs = rng.integers(0, n, size=(20000, 2)).astype(np.int32)
+    preds = oracle_pair_predictions(pc, normals, idxs, T_true, R_true, bound, 1.0, cfg)
+
+    res = vote_pose(
+        jax.random.PRNGKey(2), pre.pc, pre.normals, jnp.array(idxs), jnp.array(preds),
+        pre.n_valid, jnp.array(pcfg.sphere_points()), pcfg,
+    )
+    T_err = np.linalg.norm(np.asarray(res.T) - T_true)
+    assert T_err < 2.5 * cfg.res, f"T err {T_err}"
+    up_true = R_true @ np.array([0, 1.0, 0])
+    cos_up = abs(float(np.asarray(res.up) @ up_true))
+    assert cos_up > np.cos(np.deg2rad(5)), f"up axis cos {cos_up}"
+    right_true = R_true @ np.array([1.0, 0, 0])
+    # with exact predictions the axis direction must be within sphere
+    # tolerance modulo sign (the oracle aux bits fix the sign too)
+    cos_right = float(np.asarray(res.right) @ right_true)
+    assert abs(cos_right) > np.cos(np.deg2rad(6)), f"right axis cos {cos_right}"

@@ -123,3 +123,87 @@ def test_weighted_bce_focuses_informative_pairs():
     w = jnp.array([1.0, 0.0, 1.0, 1.0])
     focused = bce_with_logits(logits, target, w)
     assert float(focused) < float(base)
+
+
+def test_radial_asymmetry_marks_handle(rng):
+    """A cylinder wall scores ~0; a handle protruding on +x scores high."""
+    from cppf_tpu.core.targets import radial_asymmetry
+
+    n_wall, n_handle = 900, 60
+    theta = rng.uniform(0, 2 * np.pi, n_wall)
+    wall = np.stack([0.4 * np.cos(theta),
+                     rng.uniform(0, 1, n_wall),
+                     0.4 * np.sin(theta)], -1)
+    handle = np.stack([rng.uniform(0.75, 0.95, n_handle),
+                       rng.uniform(0.3, 0.7, n_handle),
+                       rng.normal(0, 0.02, n_handle)], -1)
+    pc = np.concatenate([wall, handle]).astype(np.float32)
+    pad = np.zeros((1024, 3), np.float32)
+    pad[: len(pc)] = pc
+    score = np.asarray(radial_asymmetry(jnp.array(pad), len(pc)))
+    assert score[len(pc):].max() == 0.0          # padding masked out
+    assert np.median(score[:n_wall]) < 0.05      # revolution wall ~ 0
+    assert np.median(score[n_wall:len(pc)]) > 0.5  # handle flagged
+
+
+def test_generate_targets_asym_scales_right_bit(rng):
+    """With asym given, the right-bit weight is scaled toward asymmetric
+    pairs while the up-bit weight is untouched."""
+    pc = rng.normal(size=(100, 3)).astype(np.float32) * 0.1
+    normals = rng.normal(size=(100, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    idxs = rng.integers(0, 100, size=(500, 2))
+    asym = rng.uniform(0, 1, 100).astype(np.float32)
+    base = generate_targets(jnp.array(pc), jnp.array(normals), jnp.array(idxs))
+    out = generate_targets(jnp.array(pc), jnp.array(normals), jnp.array(idxs),
+                           asym=jnp.array(asym))
+    np.testing.assert_allclose(np.asarray(out.aux_weight)[:, 0],
+                               np.asarray(base.aux_weight)[:, 0], atol=1e-6)
+    pair_asym = np.maximum(asym[idxs[:, 0]], asym[idxs[:, 1]])
+    np.testing.assert_allclose(
+        np.asarray(out.aux_weight)[:, 1],
+        np.asarray(base.aux_weight)[:, 1] * (0.05 + 0.95 * pair_asym),
+        atol=1e-5)
+
+
+def test_radial_asymmetry_about_posed_axis(rng):
+    """radial_asymmetry_about recovers the handle of a posed mug-like cloud
+    given only the (center, axis) line — the inference-side form."""
+    import jax.numpy as jnp
+
+    from cppf_tpu.core.targets import radial_asymmetry, radial_asymmetry_about
+
+    n_wall, n_handle = 900, 60
+    theta = rng.uniform(0, 2 * np.pi, n_wall)
+    wall = np.stack([0.4 * np.cos(theta),
+                     rng.uniform(0, 1, n_wall),
+                     0.4 * np.sin(theta)], -1)
+    handle = np.stack([rng.uniform(0.75, 0.95, n_handle),
+                       rng.uniform(0.3, 0.7, n_handle),
+                       rng.normal(0, 0.02, n_handle)], -1)
+    pc = np.concatenate([wall, handle]).astype(np.float32)
+    # arbitrary rigid pose
+    ang = rng.uniform(0, 2 * np.pi, 3)
+
+    def rot(a, i, j):
+        R = np.eye(3)
+        R[i, i] = R[j, j] = np.cos(a)
+        R[i, j], R[j, i] = -np.sin(a), np.sin(a)
+        return R
+
+    R = rot(ang[0], 0, 1) @ rot(ang[1], 1, 2) @ rot(ang[2], 0, 2)
+    t = np.array([0.3, -0.2, 1.1])
+    posed = pc @ R.T + t  # canonical axis (origin, +y) maps to (t, R[:,1])
+    pad = np.zeros((1024, 3), np.float32)
+    pad[: len(pc)] = posed
+    score = np.asarray(radial_asymmetry_about(
+        jnp.array(pad), jnp.array(t, dtype=jnp.float32),
+        jnp.array(R[:, 1], dtype=jnp.float32), len(pc)))
+    assert score[len(pc):].max() == 0.0
+    assert np.median(score[:n_wall]) < 0.05
+    assert np.median(score[n_wall:len(pc)]) > 0.5
+    # and it matches the canonical-frame scorer on the same geometry
+    pad_c = np.zeros((1024, 3), np.float32)
+    pad_c[: len(pc)] = pc
+    canon = np.asarray(radial_asymmetry(jnp.array(pad_c), len(pc)))
+    np.testing.assert_allclose(score[: len(pc)], canon[: len(pc)], atol=1e-3)

@@ -230,3 +230,25 @@ def test_sphere_bin_count_matches_dense(rng):
     dense = ((cands @ sphere.T) > tol).sum(0)
     ours = np.asarray(sphere_bin_count(jnp.array(cands), jnp.array(sphere), tol, chunk=128))
     np.testing.assert_array_equal(ours.astype(int), dense)
+
+
+def test_rot_vote_sphere_count_weighted(rng):
+    """weights=1 reproduces the unweighted counts; fractional weights scale
+    each pair's cone-vote contribution linearly."""
+    import jax.numpy as jnp
+
+    from cppf_tpu.core.geometry import fibonacci_sphere
+    from cppf_tpu.ops.voting import rot_vote_sphere_count
+
+    pc = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32) * 0.1)
+    idxs = jnp.asarray(rng.integers(0, 64, size=(200, 2)).astype(np.int32))
+    angles = jnp.asarray(rng.uniform(0.1, 3.0, 200).astype(np.float32))
+    sphere = jnp.asarray(fibonacci_sphere(120).astype(np.float32))
+    cos_tol = np.cos(np.deg2rad(5.0))
+    base = rot_vote_sphere_count(pc, angles, idxs, sphere, cos_tol, n_rots=24)
+    ones = rot_vote_sphere_count(pc, angles, idxs, sphere, cos_tol, n_rots=24,
+                                 weights=jnp.ones(200))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ones), atol=1e-4)
+    halves = rot_vote_sphere_count(pc, angles, idxs, sphere, cos_tol, n_rots=24,
+                                   weights=jnp.full(200, 0.5))
+    np.testing.assert_allclose(np.asarray(halves), np.asarray(base) * 0.5, atol=1e-4)
