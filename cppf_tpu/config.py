@@ -93,6 +93,12 @@ class Config:
     # the weight on azimuth-ambiguous wall pairs whose bit is unlearnable.
     aux_asym: bool = False
 
+    # Train-side: weight the up-angle KL by bottom-slab (base) membership of
+    # the pair (core/targets.py::base_membership) so hinge-ambiguous lid-lid
+    # pairs of articulated clamshell bodies stop teaching the up head.  For
+    # laptop.
+    up_rot_base: bool = False
+
     # Zero-shot proposal-contrast validation cadence (epochs; 0 = off).
     # Regression-variant (cls_bins=False) training only: every N epochs a
     # fixed cluttered synthetic scene is scored by the proposal extractor

@@ -29,6 +29,7 @@ class VotingTargets(NamedTuple):
     rot_aux: jnp.ndarray   # [P, 2]  binary orientation bits
     point_idxs: jnp.ndarray  # [P, 2] int32
     aux_weight: jnp.ndarray  # [P, 2]  |n_canon·axis| informativeness of the bits
+    up_rot_weight: jnp.ndarray | None = None  # [P] up-angle KL weight (articulated bodies)
 
 
 def sample_pair_idxs(rng: jax.Array, n_points, n_pairs: int) -> jnp.ndarray:
@@ -104,6 +105,28 @@ def _profile_excess(height, r, mask, n_bins: int, dtype) -> jnp.ndarray:
     return jnp.clip((excess - 1.0) * 0.5, 0.0, 1.0) * mf
 
 
+def base_membership(pc: jnp.ndarray, n_valid, frac: float = 0.15) -> jnp.ndarray:
+    """Per-point bottom-slab membership for articulated clamshell bodies, [N].
+
+    A laptop's up axis is carried by its BASE: lid-lid pairs cannot observe
+    the hinge opening angle from SE(3)-invariant local features (a flat lid
+    looks identical at any inclination), so their up-angle targets vary
+    across the family's random hinge angles — label noise that trains the up
+    head toward a diffuse marginal (measured: laptop voting-only up 63.7deg
+    median).  Base-base pairs are hinge-invariant and base-lid pairs observe
+    the hinge angle directly (n_a·n_b IS the opening angle), so weighting
+    the up-angle loss by max(base_a, base_b) keeps every informative pair.
+    No reference counterpart (the reference trains unweighted and leans on
+    its plane-override at inference, nocs/inference.py:314-323).
+    """
+    mask = (jnp.arange(pc.shape[0]) < n_valid)
+    y = pc[:, 1]
+    big = jnp.asarray(1e9, pc.dtype)
+    y_lo = jnp.min(jnp.where(mask, y, big))
+    y_hi = jnp.max(jnp.where(mask, y, -big))
+    return ((y < y_lo + frac * jnp.maximum(y_hi - y_lo, 1e-6)) & mask).astype(pc.dtype)
+
+
 def generate_targets(
     pc: jnp.ndarray,
     pc_normal: jnp.ndarray,
@@ -112,6 +135,7 @@ def generate_targets(
     right_sym: bool = False,
     z_right: bool = False,
     asym: jnp.ndarray | None = None,
+    base: jnp.ndarray | None = None,
 ) -> VotingTargets:
     """Pair voting labels for a canonical-frame point cloud.
 
@@ -120,6 +144,9 @@ def generate_targets(
     given, the right-bit aux weight is additionally scaled by the pair's
     symmetry-breaking score so near-revolution wall pairs (whose bit is
     azimuth-noise) stop dragging the head to chance.
+    ``base`` ([N], optional): per-point :func:`base_membership`; when given,
+    an up-angle KL weight max(base_a, base_b) (with a small floor) is
+    attached so hinge-ambiguous lid-lid pairs stop teaching the up head.
     """
     a = pc[point_idxs[:, 0]]
     b = pc[point_idxs[:, 1]]
@@ -168,8 +195,12 @@ def generate_targets(
         # small floor keeps a trickle of gradient from ordinary pairs
         w_right = w_right * (0.05 + 0.95 * pair_asym)
     aux_weight = jnp.stack([w_up, w_right], -1)
+    up_rot_w = None
+    if base is not None:
+        up_rot_w = 0.1 + 0.9 * jnp.maximum(base[point_idxs[:, 0]],
+                                           base[point_idxs[:, 1]])
     return VotingTargets(target_tr, target_rot, target_aux,
-                         point_idxs.astype(jnp.int32), aux_weight)
+                         point_idxs.astype(jnp.int32), aux_weight, up_rot_w)
 
 
 def soft_bin_targets(

@@ -27,8 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from cppf_tpu.config import Config, load_config, parse_cli_overrides
-from cppf_tpu.core.targets import (generate_targets, radial_asymmetry,
-                                   sample_pair_idxs, scale_target, soft_bin_targets)
+from cppf_tpu.core.targets import (base_membership, generate_targets,
+                                   radial_asymmetry, sample_pair_idxs,
+                                   scale_target, soft_bin_targets)
 from cppf_tpu.data.shapenet import ShapeNetRenderDataset
 from cppf_tpu.pipeline.preprocess import preprocess_cloud
 from cppf_tpu.train import checkpoints
@@ -47,7 +48,7 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
     key = (cfg.res, cfg.knn, cfg.train_pairs, cfg.up_sym, cfg.right_sym,
            cfg.z_right, cfg.cls_bins, tuple(cfg.vote_range), tuple(cfg.scale_mean),
            cfg.tr_num_bins, cfg.rot_num_bins, npoint_pad, cfg.aux_weighted,
-           cfg.aux_asym)
+           cfg.aux_asym, cfg.up_rot_base)
     if key in _PREP_CACHE:
         return _PREP_CACHE[key]
 
@@ -69,9 +70,11 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
             idxs = sample_pair_idxs(rng_pairs, pre.n_valid, cfg.train_pairs)
             asym = (radial_asymmetry(pre.pc, pre.n_valid)
                     if cfg.aux_asym else None)
+            base = (base_membership(pre.pc, pre.n_valid)
+                    if cfg.up_rot_base else None)
             tgt = generate_targets(pre.pc, normals, idxs,
                                    cfg.up_sym, cfg.right_sym, cfg.z_right,
-                                   asym=asym)
+                                   asym=asym, base=base)
             st = scale_target(bound, scale, cfg.scale_mean)
             if cfg.cls_bins:
                 tr_t, rot_t = soft_bin_targets(tgt, cfg.vote_range,
@@ -81,6 +84,9 @@ def _prepare_fn(cfg: Config, npoint_pad: int):
             out = (pre.pc, normals, pre.n_valid, idxs, tr_t, rot_t, tgt.rot_aux, st)
             if cfg.aux_weighted:
                 out = out + (tgt.aux_weight,)
+            if cfg.up_rot_base:
+                assert cfg.aux_weighted, "up_rot_base requires aux_weighted (positional Batch)"
+                out = out + (tgt.up_rot_weight,)
             return out
 
         return Batch(*jax.vmap(one)(rngs, pcs, n_raws, bounds, scales))

@@ -11,12 +11,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def kldiv_batchmean(log_q: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def kldiv_batchmean(log_q: jnp.ndarray, target: jnp.ndarray,
+                    weight: jnp.ndarray | None = None) -> jnp.ndarray:
     """torch.nn.KLDivLoss(reduction='batchmean')(log_q, target): rows are the
-    batch; 0·log0 = 0."""
+    batch; 0·log0 = 0.  With ``weight`` ([rows]) a normalised weighted mean
+    over rows (weights sum out, keeping the loss scale comparable)."""
     t = target
     pointwise = jnp.where(t > 0, t * (jnp.log(jnp.where(t > 0, t, 1.0)) - log_q), 0.0)
-    return jnp.sum(pointwise) / t.shape[0]
+    if weight is None:
+        return jnp.sum(pointwise) / t.shape[0]
+    row = jnp.sum(pointwise, -1)
+    return jnp.sum(weight * row) / jnp.maximum(jnp.sum(weight), 1e-6)
 
 
 def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray,
@@ -34,7 +39,7 @@ def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def ppf_losses(preds, tr_prob, rot_prob, aux, scale_target, tr_num_bins, rot_num_bins,
-               regress_right: bool, aux_weight=None):
+               regress_right: bool, aux_weight=None, up_rot_weight=None):
     """Slice the head output (reference train.py:68-75) and compute all terms.
 
     preds: [P, out_dim]; tr_prob: [P,2,B]; rot_prob: [P,2,R]; aux: [P,2];
@@ -55,7 +60,8 @@ def ppf_losses(preds, tr_prob, rot_prob, aux, scale_target, tr_num_bins, rot_num
 
     loss_tr = kldiv_batchmean(jax.nn.log_softmax(preds_tr[:, 0], -1), tr_prob[:, 0]) + \
         kldiv_batchmean(jax.nn.log_softmax(preds_tr[:, 1], -1), tr_prob[:, 1])
-    loss_up = kldiv_batchmean(jax.nn.log_softmax(preds_up, -1), rot_prob[:, 0])
+    loss_up = kldiv_batchmean(jax.nn.log_softmax(preds_up, -1), rot_prob[:, 0],
+                              weight=up_rot_weight)
     w_up = aux_weight[:, 0] if aux_weight is not None else None
     loss_up_aux = bce_with_logits(preds_up_aux, aux[:, 0], w_up)
     loss_scale = mse(preds_scale, scale_target[None, :])

@@ -37,6 +37,9 @@ class Batch(NamedTuple):
     # |n_canon·axis| informativeness weights for the aux-bit BCE; None =
     # unweighted (the reference behaviour)
     aux_weight: Any = None    # [B, P, 2] or None
+    # up-angle KL weights for articulated bodies (base_membership); None =
+    # unweighted
+    up_rot_weight: Any = None  # [B, P] or None
 
 
 class TrainState(NamedTuple):
@@ -91,7 +94,7 @@ def loss_fn(params, batch: Batch, statics: TrainStatics):
     )
     ppf_enc = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=out_dim)
 
-    def per_sample(pc, normals, n_valid, idxs, tr_prob, rot_prob, aux, st, aux_w):
+    def per_sample(pc, normals, n_valid, idxs, tr_prob, rot_prob, aux, st, aux_w, up_w):
         valid = jnp.arange(pc.shape[0]) < n_valid
         nbr = knn_indices(pc, statics.knn, valid)
         feat = point_enc.apply(params["point"], pc, normals, nbr, valid)
@@ -100,7 +103,7 @@ def loss_fn(params, batch: Batch, statics: TrainStatics):
             return ppf_losses(
                 preds, tr_prob, rot_prob, aux, st,
                 statics.tr_num_bins, statics.rot_num_bins, statics.regress_right,
-                aux_weight=aux_w,
+                aux_weight=aux_w, up_rot_weight=up_w,
             )
         return ppf_regression_losses(preds, tr_prob, rot_prob, aux, st,
                                      aux_weight=aux_w)
@@ -108,7 +111,7 @@ def loss_fn(params, batch: Batch, statics: TrainStatics):
     totals, comps = jax.vmap(per_sample)(
         batch.pc, batch.normals, batch.n_valid, batch.point_idxs,
         batch.tr_prob, batch.rot_prob, batch.aux, batch.scale_target,
-        batch.aux_weight,
+        batch.aux_weight, batch.up_rot_weight,
     )
     return jnp.mean(totals), jax.tree.map(jnp.mean, comps)
 

@@ -41,8 +41,11 @@ T="python -m cppf_tpu.train.loop batch_size=2 npoint_pad=4096 resume=true"
 fresh checkpoints/bottle
 fresh checkpoints/mug
 fresh checkpoints/camera
+fresh checkpoints/laptop
 
 run_item $T category=bottle max_epoch=200 out_dir=checkpoints/bottle
 run_item $T category=mug    max_epoch=200 aux_asym=true out_dir=checkpoints/mug
 run_item $T category=camera max_epoch=200 aux_asym=true out_dir=checkpoints/camera
+# up-angle KL weighted by base membership (hinge-ambiguous lid pairs muted)
+run_item $T category=laptop max_epoch=200 up_rot_base=true out_dir=checkpoints/laptop
 echo QUEUE5_DONE

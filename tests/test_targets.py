@@ -207,3 +207,35 @@ def test_radial_asymmetry_about_posed_axis(rng):
     pad_c[: len(pc)] = pc
     canon = np.asarray(radial_asymmetry(jnp.array(pad_c), len(pc)))
     np.testing.assert_allclose(score[: len(pc)], canon[: len(pc)], atol=1e-3)
+
+
+def test_base_membership_marks_bottom_slab(rng):
+    from cppf_tpu.core.targets import base_membership
+
+    n = 500
+    pc = np.zeros((600, 3), np.float32)
+    # base slab at y in [0, 0.05], lid rising to y=1
+    yb = rng.uniform(0, 0.05, 300)
+    yl = rng.uniform(0.2, 1.0, 200)
+    pc[:300, 1] = yb
+    pc[300:500, 1] = yl
+    pc[500:, 1] = 99.0  # padding
+    score = np.asarray(base_membership(jnp.array(pc), n))
+    assert score[:300].min() == 1.0
+    assert score[300:500].max() == 0.0
+    assert score[500:].max() == 0.0
+
+
+def test_generate_targets_base_up_weight(rng):
+    """With base given, up_rot_weight = 0.1 + 0.9*max(base_a, base_b)."""
+    pc = rng.normal(size=(100, 3)).astype(np.float32) * 0.1
+    normals = rng.normal(size=(100, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    idxs = rng.integers(0, 100, size=(500, 2))
+    base = (rng.uniform(0, 1, 100) < 0.3).astype(np.float32)
+    out = generate_targets(jnp.array(pc), jnp.array(normals), jnp.array(idxs),
+                           base=jnp.array(base))
+    expect = 0.1 + 0.9 * np.maximum(base[idxs[:, 0]], base[idxs[:, 1]])
+    np.testing.assert_allclose(np.asarray(out.up_rot_weight), expect, atol=1e-6)
+    none_out = generate_targets(jnp.array(pc), jnp.array(normals), jnp.array(idxs))
+    assert none_out.up_rot_weight is None
