@@ -86,6 +86,116 @@ def extract_proposals_host(grid: np.ndarray, corner: np.ndarray, res: float,
     return proposals
 
 
+def scene_planes(pc: np.ndarray, fit_tol: float = 0.008,
+                 member_tol: float = 0.015, min_frac: float = 0.2,
+                 min_extent: float = 0.3, max_planes: int = 2,
+                 seed: int = 0) -> np.ndarray:
+    """Membership mask of the dominant support surfaces (table, wall).
+
+    Up to ``max_planes`` rounds of :func:`cppf_tpu.ops.ransac.segment_plane`
+    at ``fit_tol``.  A round's plane counts as a support surface only if it
+    holds ≥ ``min_frac`` of the remaining points AND its inlier patch spans
+    ≥ ``min_extent`` along *both* in-plane principal axes — a table or wall
+    is wide in every direction, whereas RANSAC's best plane through a curved
+    object is a tangent band only a few cm across, so object sheets are never
+    classified as support surfaces regardless of scene size.  Membership is
+    re-evaluated against the accepted plane equations at the looser
+    ``member_tol`` (sensor noise on a table top is wider than the fit band).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cppf_tpu.ops.ransac import segment_plane
+
+    on_plane = np.zeros(len(pc), bool)
+    remaining = np.arange(len(pc))
+    for k in range(max_planes):
+        if len(remaining) < 100:
+            break
+        plane, mask = segment_plane(jax.random.PRNGKey(seed + k),
+                                    jnp.asarray(pc[remaining]), fit_tol,
+                                    num_iterations=200)
+        mask = np.asarray(mask)
+        if mask.sum() < min_frac * len(remaining):
+            break
+        plane = np.asarray(plane)
+        inl = pc[remaining[mask]]
+        cen = inl - inl.mean(0)
+        in_plane = cen - np.outer(cen @ plane[:3], plane[:3])
+        cov = in_plane.T @ in_plane / max(len(inl), 1)
+        evals, evecs = np.linalg.eigh(cov)
+        # two largest eigenvectors span the plane; extent along each
+        spans = [np.ptp(in_plane @ evecs[:, j]) for j in (1, 2)]
+        remaining = remaining[~mask]
+        if min(spans) < min_extent:
+            continue
+        on_plane |= np.abs(pc @ plane[:3] + plane[3]) < member_tol
+    return on_plane
+
+
+def rank_proposals(hm: "HeatmapState", proposals, res: float,
+                   nms_radius: float = 0.15, contrib_thresh: int = 12,
+                   plane_veto: float = 0.5):
+    """Object-evidence re-ranking of the cell-9 proposals.
+
+    This is an addition over reference ``nocs/zero_shot.ipynb`` cell 9: the
+    notebook's margin-box suppression covers only 2·margin·res ≈ 8 cm — less
+    than one bowl — so a single object yields several proposals, and diffuse
+    table-top vote mass competes on boundary contrast alone.  Three stages:
+
+    1. **score** = boundary contrast × tight support, where tight support
+       counts the pairs whose vote circle passes within one voxel (``res``)
+       of the proposal center (:func:`cppf_tpu.ops.voting.circle_support`):
+       contrast measures peak sharpness, tight support how much pair
+       evidence is *exactly* consistent with the center — clutter peaks are
+       built from grazing circles.
+    2. greedy 3D **NMS** at ``nms_radius`` (default: half the notebook's
+       ``object_scale`` = 0.3 pair-sampling radius, cell 1) keeps the
+       best-scored proposal per object;
+    3. **support-surface veto**: a survivor whose unsupervised instance mask
+       (membership pairs at 3·res, contrib > ``contrib_thresh`` — the cell-11
+       recipe) lies > ``plane_veto`` on a dominant scene plane
+       (:func:`scene_planes`) is a table/wall phantom, not a free-standing
+       object, and is dropped.
+
+    Returns the surviving ``(T_est, score)`` list, best first.
+    """
+    import jax.numpy as jnp
+
+    from cppf_tpu.ops.voting import circle_support
+
+    if not proposals:
+        return []
+    pc_j = jnp.asarray(hm.pc)
+    tr_j = jnp.asarray(hm.preds[:, :2])
+    idx_j = jnp.asarray(hm.point_idxs)
+    scored = []
+    for T_est, diff in proposals:
+        tight = circle_support(pc_j, tr_j, idx_j,
+                               jnp.asarray(T_est, jnp.float32), res)
+        scored.append((T_est, diff * float(jnp.sum(tight))))
+    scored.sort(key=lambda p: -p[1])
+
+    kept = []
+    for T_est, score in scored:
+        if all(np.linalg.norm(T_est - k[0]) > nms_radius for k in kept):
+            kept.append((T_est, score))
+
+    on_plane = scene_planes(hm.pc)
+    out = []
+    for T_est, score in kept:
+        loose = np.asarray(circle_support(pc_j, tr_j, idx_j,
+                                          jnp.asarray(T_est, jnp.float32),
+                                          3 * res))
+        contrib = np.bincount(hm.point_idxs[loose].reshape(-1),
+                              minlength=len(hm.pc))
+        sel = contrib > contrib_thresh
+        if sel.sum() and on_plane[sel].mean() > plane_veto:
+            continue
+        out.append((T_est, score))
+    return out
+
+
 def filter_degenerate_pairs(pc, pc_normal, point_idxs):
     """Drop coplanar-indistinguishable pairs (notebook cell 6)."""
     n1 = pc_normal[point_idxs[:, 0]]
@@ -298,7 +408,27 @@ def zero_shot_detect(
     contrib_thresh: int = 12,
     seed: int = 0,
     predict_fn=None,
+    nms_radius: float = 0.15,
 ) -> List[Detection]:
+    hm = zero_shot_heatmap(depth, params, cfg, intrinsics, n_pairs, num_rots,
+                           seed, predict_fn)
+    return detect_from_heatmap(hm, cfg, num_rots=num_rots,
+                               angle_tol=angle_tol, prop_thresh=prop_thresh,
+                               contrib_thresh=contrib_thresh, seed=seed,
+                               nms_radius=nms_radius)
+
+
+def detect_from_heatmap(
+    hm: HeatmapState,
+    cfg,
+    num_rots: int = 72,
+    angle_tol: float = 2.0,
+    prop_thresh: float = 50.0,
+    contrib_thresh: int = 12,
+    seed: int = 0,
+    nms_radius: float = 0.15,
+) -> List[Detection]:
+    """Cells 9-11 given a precomputed :class:`HeatmapState` (cells 3-8)."""
     import jax.numpy as jnp
 
     from cppf_tpu.core.geometry import fibonacci_sphere
@@ -306,8 +436,6 @@ def zero_shot_detect(
 
     rng = np.random.default_rng(seed)
     res = cfg.res
-    hm = zero_shot_heatmap(depth, params, cfg, intrinsics, n_pairs, num_rots,
-                           seed, predict_fn)
     pc, pc_normal, point_idxs = hm.pc, hm.pc_normal, hm.point_idxs
     corner, dims, grid = hm.corner, hm.dims, hm.grid
     n = len(pc)
@@ -316,9 +444,12 @@ def zero_shot_detect(
     preds_up_aux = hm.preds[:, 4]
     preds_scale = hm.preds[:, 6:9]
 
-    # --- cell 9: proposals ----------------------------------------------------
+    # --- cell 9: proposals + object-evidence re-rank -------------------------
     proposals = extract_proposals_host(grid, corner, res, thresh=prop_thresh)
-    log.info("%d proposals", len(proposals))
+    log.info("%d raw proposals", len(proposals))
+    proposals = rank_proposals(hm, proposals, res, nms_radius=nms_radius,
+                               contrib_thresh=contrib_thresh)
+    log.info("%d proposals after support re-rank + NMS", len(proposals))
 
     sphere = fibonacci_sphere(int(4 * np.pi / np.deg2rad(angle_tol))).astype(np.float32)
     cos_tol = np.cos(np.deg2rad(angle_tol))

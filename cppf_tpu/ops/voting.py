@@ -631,6 +631,49 @@ def backvote(
     return off.reshape(-1, 3)[:p], mask.reshape(-1)[:p]
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def circle_support(
+    pc: jnp.ndarray,
+    preds_tr: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    pred_center: jnp.ndarray,
+    tol,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Exact center-consistency mask: continuous form of :func:`backvote`.
+
+    Each pair's vote set is a circle (center ``a − proj_len·âb``, radius
+    ``|odist|``, in the plane ⟂ âb).  Where :func:`backvote` sweeps the
+    circle at ~``res`` sample spacing and tests each sample (reference
+    models/voting.py:70-113), this computes the analytic point-to-circle
+    distance ``√(axial² + (radial − r)²)`` and returns ``distance ≤ tol`` —
+    no sampling artifacts, so it is usable at sub-``res`` tolerances for
+    evidence scoring (eval/zero_shot.py::rank_proposals).  Degenerate pairs
+    never hit.  Returns a [P] bool mask.
+    """
+    p = point_idxs.shape[0]
+    n_chunks = (p + chunk - 1) // chunk
+    pad = n_chunks * chunk - p
+    point_idxs_p = jnp.pad(point_idxs, ((0, pad), (0, 0)))
+    preds_tr_p = jnp.pad(preds_tr, ((0, pad), (0, 0)))
+
+    def body(args):
+        idxs, tr = args
+        a, ab_unit, degenerate, _ = pair_frames(pc, idxs)
+        c = a - ab_unit * tr[:, 0:1]
+        v = pred_center[None, :] - c
+        axial = jnp.sum(v * ab_unit, -1)
+        radial = jnp.linalg.norm(v - axial[:, None] * ab_unit, axis=-1)
+        dist2 = axial * axial + (radial - jnp.abs(tr[:, 1])) ** 2
+        return (dist2 <= tol * tol) & (~degenerate)
+
+    blocks = (
+        point_idxs_p.reshape(n_chunks, chunk, 2),
+        preds_tr_p.reshape(n_chunks, chunk, 2),
+    )
+    return lax.map(body, blocks).reshape(-1)[:p]
+
+
 @partial(jax.jit, static_argnames=("n_rots", "chunk"))
 def rot_vote(
     pc: jnp.ndarray,

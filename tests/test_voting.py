@@ -4,6 +4,7 @@ import pytest
 
 from cppf_tpu.ops.voting import (
     backvote,
+    circle_support,
     grid_argmax,
     ppf_vote,
     ppf_vote_peak,
@@ -172,6 +173,46 @@ def test_backvote_matches_oracle(rng):
     oracle = backvote_np(pc, preds_tr, idxs, corner, res, dims, center, tol, 24)
     np.testing.assert_allclose(np.asarray(off), oracle, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(mask), np.any(oracle != 0, -1))
+
+
+def test_circle_support_brackets_backvote(rng):
+    """The analytic point-to-circle test must agree with the sampled sweep:
+    every sweep hit is an analytic hit at the same tol (samples lie ON the
+    circle), and every analytic hit is a sweep hit once the tol is widened
+    by the ~res sample spacing."""
+    pc, idxs, corner, res, dims, preds_tr, center = _instance(rng)
+    tol = 2 * res
+    _, swept = backvote(
+        jnp.array(pc), jnp.array(preds_tr), jnp.array(idxs), jnp.array(corner),
+        res, jnp.array(dims), jnp.array(center), tol, n_rots=64, chunk=64,
+    )
+    exact = circle_support(jnp.array(pc), jnp.array(preds_tr), jnp.array(idxs),
+                           jnp.array(center), tol, chunk=64)
+    swept, exact = np.asarray(swept), np.asarray(exact)
+    assert not np.any(swept & ~exact)
+    # sweep at widened tol must cover every exact hit at the original tol
+    # (the _instance grid covers the cloud, so no out-of-bounds misses)
+    _, swept_wide = backvote(
+        jnp.array(pc), jnp.array(preds_tr), jnp.array(idxs), jnp.array(corner),
+        res, jnp.array(dims), jnp.array(center), tol + res, n_rots=64, chunk=64,
+    )
+    assert not np.any(exact & ~np.asarray(swept_wide))
+
+
+def test_circle_support_true_center_dominates(rng):
+    """All non-degenerate pairs support the true center at tight tol; a
+    far-off point gets (almost) none."""
+    pc, idxs, corner, res, dims, preds_tr, center = _instance(rng)
+    hit = np.asarray(circle_support(jnp.array(pc), jnp.array(preds_tr),
+                                    jnp.array(idxs), jnp.array(center),
+                                    res / 4, chunk=64))
+    # first 5 are forced-degenerate; a random pair may also self-pair
+    assert hit[5:].mean() > 0.95 and not hit[:5].any()
+    far = np.asarray(circle_support(jnp.array(pc), jnp.array(preds_tr),
+                                    jnp.array(idxs),
+                                    jnp.array(center + 0.5), res / 4,
+                                    chunk=64))
+    assert far.sum() < 0.02 * len(idxs)
 
 
 def test_rot_vote_matches_oracle(rng):

@@ -83,6 +83,27 @@ def test_zero_shot_two_instances(rng):
     assert overlap < 0.3, f"instance masks overlap {overlap}"
 
 
+def test_scene_planes_extent_guard(rng):
+    """A wide table plane is flagged as a support surface; RANSAC's best
+    plane through a curved object (a narrow tangent band) is not."""
+    from cppf_tpu.eval.zero_shot import scene_planes
+
+    table = np.stack([rng.uniform(-0.5, 0.5, 3000),
+                      np.full(3000, 0.0) + rng.normal(0, 0.002, 3000),
+                      rng.uniform(0.8, 1.8, 3000)], -1).astype(np.float32)
+    theta = rng.uniform(0, 2 * np.pi, 800)
+    cyl = np.stack([0.08 * np.cos(theta),
+                    rng.uniform(0.0, 0.2, 800),
+                    1.2 + 0.08 * np.sin(theta)], -1).astype(np.float32)
+    mask = scene_planes(np.concatenate([table, cyl]))
+    assert mask[:3000].mean() > 0.9, "table not recognised"
+    assert mask[3000:].mean() < 0.3, "cylinder wrongly on-plane"
+
+    # cylinder alone: its tangent band must NOT count as a support surface
+    mask_cyl = scene_planes(cyl)
+    assert mask_cyl.mean() < 0.1
+
+
 def test_filter_degenerate_pairs(rng):
     # coplanar points with identical normals → pairs dropped
     pc = np.zeros((50, 3), np.float32)
