@@ -85,6 +85,12 @@ class Config:
     # (handle/lens) about the voted up axis.  For near-revolution
     # regress_right categories (mug, camera); see PoseConfig.asym_right_votes.
     asym_right_votes: bool = False
+    # Second-pass center vote weighted by the same radial-asymmetry score:
+    # azimuth-ambiguous wall pairs predict marginalised dist2o, which reads
+    # as radius excess on the far wall and drags the center-vote peak toward
+    # the protruding geometry (measured: mug T displaced 10-20 mm toward the
+    # handle); see PoseConfig.asym_center_refine.
+    asym_center_refine: bool = False
 
     # Train-side: additionally scale the right-bit aux weight by the pair's
     # radial-asymmetry score (core/targets.py::radial_asymmetry) so only

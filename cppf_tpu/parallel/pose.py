@@ -100,12 +100,15 @@ def sharded_sphere_histogram(mesh, pc, angles, sub_idxs, sphere_pts, cos_tol,
 
 
 def _vote_axis_sharded(mesh, rng, pc, pc_normal, point_idxs, pair_mask,
-                       angle_logits, aux_logits, sphere_pts, pcfg):
+                       angle_logits, aux_logits, sphere_pts, pcfg,
+                       pair_weights=None):
     """Sharded twin of pipeline.pose._vote_axis (same rng draw order)."""
     rng_bin, rng_sub = jax.random.split(rng)
     p = point_idxs.shape[0]
     any_alive = jnp.any(pair_mask)
     keep = (pair_mask | ~any_alive).astype(jnp.float32)
+    if pair_weights is not None:
+        keep = keep * pair_weights
     cdf = jnp.cumsum(keep)
     u = jax.random.uniform(rng_sub, (pcfg.rot_subsample,)) * cdf[-1]
     sub = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, p - 1)
@@ -123,9 +126,15 @@ def _vote_axis_sharded(mesh, rng, pc, pc_normal, point_idxs, pair_mask,
     ab_unit = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
     n_a = pc_normal[point_idxs[:, 0]]
     n_canon = n_a * jnp.where(jnp.sum(n_a * ab_unit, -1, keepdims=True) < 0, -1.0, 1.0)
-    target = (jnp.sum(n_canon * best_dir, -1) > 0).astype(pc.dtype)
-    up_loss = _bce_logits(aux_logits, target, pair_mask)
-    down_loss = _bce_logits(aux_logits, 1.0 - target, pair_mask)
+    align = jnp.sum(n_canon * best_dir, -1)
+    target = (align > 0).astype(pc.dtype)
+    aux_mask = pair_mask.astype(pc.dtype)
+    if pcfg.aux_align_weight:
+        aux_mask = aux_mask * jnp.abs(align)
+    if pair_weights is not None:
+        aux_mask = aux_mask * pair_weights
+    up_loss = _bce_logits(aux_logits, target, aux_mask)
+    down_loss = _bce_logits(aux_logits, 1.0 - target, aux_mask)
     return jnp.where(down_loss < up_loss, -best_dir, best_dir)
 
 
@@ -222,10 +231,52 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
                             up_logits, up_aux, sphere_pts, pcfg)
     from cppf_tpu.core.geometry import assemble_rotation, orthonormal_right
 
+    # ---- second-pass asym-weighted center vote (mirrors pipeline.pose) -----
+    if pcfg.asym_center_refine:
+        from cppf_tpu.core.targets import radial_asymmetry_about
+
+        n = pc.shape[0]
+        asym_c = radial_asymmetry_about(pc, T_est, up, n_valid)
+        probs_c = (0.05 + 0.95 * asym_c) * probs
+        if pcfg.center_mode == "hier":
+            peak_idx2, _ = sharded_ppf_vote_peak(
+                mesh, pc, preds_tr, probs_c, point_idxs, corner, pcfg.res,
+                grid_dims, pcfg.grid_shape, n_rots=pcfg.num_rots,
+                adaptive=pcfg.adaptive_voting, pair_mask=base_mask,
+                splat=pcfg.splat, max_rounds=pcfg.peak_rounds)
+            T_ref = corner + peak_idx2.astype(pc.dtype) * pcfg.res
+        else:
+            grid2 = sharded_ppf_vote(mesh, pc, preds_tr, probs_c, point_idxs,
+                                     corner, pcfg.res, grid_dims,
+                                     pcfg.grid_shape, n_rots=pcfg.num_rots,
+                                     adaptive=pcfg.adaptive_voting,
+                                     pair_mask=base_mask, splat=pcfg.splat)
+            T_ref = grid_argmax(grid2, corner, pcfg.res)
+        w_pt = jnp.where(jnp.arange(n) < n_valid, asym_c, 0.0)
+        cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
+        cen = cen - jnp.dot(cen, up) * up
+        cen_n = jnp.linalg.norm(cen)
+        u_h = cen / (cen_n + 1e-9)
+        gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
+        T_est = jnp.where(
+            gate, T_est + jnp.dot(T_ref - T_est, u_h) * u_h, T_est)
+        _, pair_mask = sharded_backvote(mesh, pc, preds_tr, point_idxs,
+                                        corner, pcfg.res, grid_dims, T_est,
+                                        3.0 * pcfg.res, n_rots=pcfg.num_rots)
+        pair_mask = pair_mask & base_mask
+
     if pcfg.regress_right:
+        right_w = None
+        if pcfg.asym_right_votes:
+            from cppf_tpu.core.targets import radial_asymmetry_about
+
+            asym = radial_asymmetry_about(pc, T_est, up, n_valid)
+            right_w = 0.05 + 0.95 * jnp.maximum(
+                asym[point_idxs[:, 0]], asym[point_idxs[:, 1]]
+            )
         right = _vote_axis_sharded(mesh, rng_right, pc, pc_normal, point_idxs,
                                    pair_mask, right_logits, right_aux,
-                                   sphere_pts, pcfg)
+                                   sphere_pts, pcfg, pair_weights=right_w)
         right = orthonormal_right(up, right)
     else:
         right = jnp.stack([jnp.zeros_like(up[0]), -up[2], up[1]])

@@ -106,6 +106,16 @@ class PoseConfig:
     # uniformly (nocs/inference.py:277-279) and inherits ~chance right axes
     # on these categories.  Purely inference-side, no retraining needed.
     asym_right_votes: bool = False
+    # Second-pass center vote for near-revolution bodies with protruding
+    # geometry: after the first center peak and the up vote, re-run the
+    # center vote with per-point weights 0.05 + 0.95·radial_asymmetry —
+    # wall pairs' dist2o predictions are azimuth-marginalised (the invariant
+    # features cannot see which side the handle is on), which reads as
+    # radius excess on the far wall and drags the peak 10-20 mm toward the
+    # handle; handle-touching pairs see the azimuth and vote sharp.  Purely
+    # inference-side; the reference has no second pass
+    # (nocs/inference.py:199-214 votes once, uniformly).
+    asym_center_refine: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -131,6 +141,7 @@ class PoseConfig:
             sharp_axis_votes=cfg.sharp_axis_votes,
             aux_align_weight=cfg.aux_align_weight,
             asym_right_votes=cfg.asym_right_votes,
+            asym_center_refine=cfg.asym_center_refine,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -365,6 +376,51 @@ def vote_pose(
     up = _vote_axis(
         rng_up, pc, pc_normal, point_idxs, pair_mask, up_logits, up_aux, sphere_pts, pcfg
     )
+
+    # --- second-pass asym-weighted center vote (PoseConfig.asym_center_refine)
+    if pcfg.asym_center_refine:
+        from cppf_tpu.core.targets import radial_asymmetry_about
+
+        asym_c = radial_asymmetry_about(pc, T_est, up, n_valid)
+        probs_c = (0.05 + 0.95 * asym_c) * probs
+        if pcfg.center_mode == "hier":
+            peak_idx2, _ = ppf_vote_peak(
+                pc, preds_tr, probs_c, point_idxs, corner, pcfg.res, grid_dims,
+                pcfg.grid_shape, n_rots=pcfg.num_rots,
+                adaptive=pcfg.adaptive_voting, splat=pcfg.splat,
+                max_rounds=pcfg.peak_rounds, pair_mask=base_mask,
+            )
+            T_ref = corner + peak_idx2.astype(pc.dtype) * pcfg.res
+        else:
+            grid2 = ppf_vote(
+                pc, preds_tr, probs_c, point_idxs, corner, pcfg.res, grid_dims,
+                pcfg.grid_shape, n_rots=pcfg.num_rots,
+                adaptive=pcfg.adaptive_voting, splat=pcfg.splat,
+                pair_mask=base_mask,
+            )
+            T_ref = grid_argmax(grid2, corner, pcfg.res)
+        # Take only the azimuthal component of the correction: the bias acts
+        # along the protrusion direction (the marginalised dist2o reads as
+        # radius excess on the wall opposite the handle), while the first
+        # pass's full-wall consensus is the *lower-noise* estimate along the
+        # other axes — the refined peak rests on far fewer votes.  The
+        # protrusion direction is the asymmetry-weighted centroid about the
+        # up axis; with the geometry occluded the asymmetry mass vanishes
+        # and the correction gates itself off.
+        w_pt = jnp.where(jnp.arange(n) < n_valid, asym_c, 0.0)
+        cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
+        cen = cen - jnp.dot(cen, up) * up
+        cen_n = jnp.linalg.norm(cen)
+        u_h = cen / (cen_n + 1e-9)
+        gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
+        T_est = jnp.where(
+            gate, T_est + jnp.dot(T_ref - T_est, u_h) * u_h, T_est)
+        _, pair_mask = backvote(
+            pc, preds_tr, point_idxs, corner, pcfg.res, grid_dims, T_est,
+            3.0 * pcfg.res, n_rots=pcfg.num_rots,
+        )
+        pair_mask = pair_mask & base_mask
+
     if pcfg.regress_right:
         right_w = None
         if pcfg.asym_right_votes:
