@@ -236,3 +236,42 @@ def test_oracle_pose_recovery_asym_right(rng):
     # tolerance modulo sign (the oracle aux bits fix the sign too)
     cos_right = float(np.asarray(res.right) @ right_true)
     assert abs(cos_right) > np.cos(np.deg2rad(6)), f"right axis cos {cos_right}"
+
+
+def test_asym_center_refine_gates_off_on_revolution_body(rng):
+    """asym_center_refine must self-gate on bodies with no radial protrusion:
+    forcing the flag on for a surface of revolution (bowl) may not degrade the
+    oracle T recovery (the asymmetry mass vanishes, so the azimuthal
+    correction direction is undefined and the gate keeps the first-pass T)."""
+    from dataclasses import replace
+
+    cfg = load_config("bowl")
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, "bowl")
+    lo, hi = mesh_bounds(mesh)
+    bound = (hi - lo).copy()
+    bound[[0, 2]] = bound[[2, 0]]
+
+    pad = np.zeros((4096, 3), np.float32)
+    pad[:4000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 4000, cfg.res,
+                           npoint_pad=2048, knn=cfg.knn, jitter=False)
+    n = int(pre.n_valid)
+    pc = np.asarray(pre.pc)
+    normals = np.asarray(pre.normals)
+
+    pcfg = PoseConfig.from_config(cfg, n_pairs=20000)
+    idxs = rng.integers(0, n, size=(20000, 2)).astype(np.int32)
+    preds = oracle_pair_predictions(pc, normals, idxs, T_true, R_true, bound, 1.0, cfg)
+    args = (pre.pc, pre.normals, jnp.array(idxs), jnp.array(preds),
+            pre.n_valid, jnp.array(pcfg.sphere_points()))
+
+    res_off = vote_pose(jax.random.PRNGKey(2), *args, pcfg)
+    res_on = vote_pose(jax.random.PRNGKey(2), *args,
+                       replace(pcfg, asym_center_refine=True))
+    err_off = np.linalg.norm(np.asarray(res_off.T) - T_true)
+    err_on = np.linalg.norm(np.asarray(res_on.T) - T_true)
+    assert err_on < 2.5 * cfg.res, f"refined T err {err_on}"
+    # the refine may move T only along the (noise-level) azimuth direction;
+    # on a revolution body it must stay within a voxel of the first pass
+    drift = np.linalg.norm(np.asarray(res_on.T) - np.asarray(res_off.T))
+    assert drift <= cfg.res + 1e-6, f"refine drifted {drift} on a revolution body"
