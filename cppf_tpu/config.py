@@ -91,6 +91,10 @@ class Config:
     # the protruding geometry (measured: mug T displaced 10-20 mm toward the
     # handle); see PoseConfig.asym_center_refine.
     asym_center_refine: bool = False
+    # Sub-voxel Gauss-Newton center solve on the back-vote survivors —
+    # removes the voxel-argmax quantisation floor; see
+    # PoseConfig.subvoxel_refine.
+    subvoxel_refine: bool = False
 
     # Train-side: additionally scale the right-bit aux weight by the pair's
     # radial-asymmetry score (core/targets.py::radial_asymmetry) so only

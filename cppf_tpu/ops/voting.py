@@ -631,6 +631,82 @@ def backvote(
     return off.reshape(-1, 3)[:p], mask.reshape(-1)[:p]
 
 
+def center_refine_terms(pc, preds_tr, point_idxs, center, weights, cutoff):
+    """Gauss-Newton normal-equation terms for the sub-voxel center solve.
+
+    Each pair (a, b) with predicted (proj_len, odist) constrains the object
+    center o to a circle: ``(a − o)·âb = proj_len`` (axial) and
+    ``‖(a − o) − ((a − o)·âb)âb‖ = odist`` (radial) — the same geometry the
+    vote kernels splat (reference models/voting.py:4-67), but solved as a
+    continuous least-squares instead of a voxel argmax.  Residuals are
+    trimmed at ``cutoff`` (squared sum), matching the back-vote tolerance
+    band, so vote outliers cannot drag the solve.
+
+    Returns (H [3,3], g [3], wsum) — plain sums over the pair axis, so a
+    pair-sharded caller psums them and every device solves identically.
+    """
+    a, ab_unit, degenerate, _ = pair_frames(pc, point_idxs)
+    proj_len, odist = preds_tr[:, 0], preds_tr[:, 1]
+    am = a - center
+    t = jnp.sum(am * ab_unit, -1)
+    e_ax = t - proj_len
+    r = am - t[:, None] * ab_unit
+    rn = jnp.linalg.norm(r, axis=-1)
+    e_rad = rn - odist
+    r_hat = r / (rn + 1e-9)[:, None]
+    w = weights * (~degenerate) * (e_ax * e_ax + e_rad * e_rad < cutoff * cutoff)
+    w = w.astype(pc.dtype)
+    H = (jnp.einsum("p,pi,pj->ij", w, ab_unit, ab_unit)
+         + jnp.einsum("p,pi,pj->ij", w, r_hat, r_hat))
+    g = jnp.einsum("p,p,pi->i", w, e_ax, ab_unit) + jnp.einsum(
+        "p,p,pi->i", w, e_rad, r_hat)
+    return H, g, jnp.sum(w)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def center_refine(
+    pc: jnp.ndarray,
+    preds_tr: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    T_init: jnp.ndarray,
+    pair_mask: jnp.ndarray,
+    res,
+    iters: int = 3,
+    min_pairs: float = 64.0,
+):
+    """Sub-voxel center refinement (no reference analogue — the reference
+    stops at the voxel argmax, nocs/inference.py:208-211, so its T carries
+    ~res/2 quantisation error by construction).
+
+    Fixed-count Gauss-Newton on the back-vote-surviving pairs' circle
+    constraints, residuals trimmed at the back-vote tolerance (3·res),
+    total correction clamped to a 2·res trust region around the voted
+    peak, and gated off when fewer than ``min_pairs`` pairs survive.
+    """
+    res = jnp.asarray(res, pc.dtype)
+    w0 = pair_mask.astype(jnp.float32 if pc.dtype == jnp.float32 else pc.dtype)
+
+    # annealed trim: start at the back-vote band, end sub-voxel — the
+    # shrinking inlier set makes the solve converge to the consistency
+    # MODE (like the vote peak) instead of the bias-sensitive global
+    # least-squares mean.
+    cutoffs = jnp.linspace(3.0, 0.75, iters) * res
+
+    def gn_step(i, c):
+        H, g, wsum = center_refine_terms(pc, preds_tr, point_idxs, c, w0,
+                                         cutoffs[i])
+        H = H + 1e-4 * jnp.trace(H) * jnp.eye(3, dtype=pc.dtype) + 1e-9
+        delta = jnp.linalg.solve(H, g)
+        ok = jnp.isfinite(delta).all() & (wsum >= min_pairs)
+        return jnp.where(ok, c + delta, c)
+
+    c = lax.fori_loop(0, iters, gn_step, T_init)
+    d = c - T_init
+    dn = jnp.linalg.norm(d)
+    c = T_init + d * jnp.minimum(1.0, 2.0 * res / (dn + 1e-9))
+    return jnp.where(jnp.isfinite(c).all(), c, T_init)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def circle_support(
     pc: jnp.ndarray,

@@ -78,6 +78,45 @@ def sharded_backvote(mesh, pc, preds_tr, point_idxs, corner, res, grid_dims,
     return off[:p], mask[:p]
 
 
+def sharded_center_refine(mesh, pc, preds_tr, point_idxs, T_init, pair_mask,
+                          res, iters: int = 3, min_pairs: float = 64.0):
+    """Pair-sharded twin of ops.voting.center_refine: the Gauss-Newton
+    normal-equation terms are plain sums over pairs, so each device
+    accumulates its shard and one tiny psum ([3,3]+[3]+[]) per iteration
+    lets every device solve the identical 3-unknown system."""
+    from cppf_tpu.ops.voting import center_refine_terms
+
+    p, (idxs_p, tr_p, mask_p) = _pad_pairs(mesh, point_idxs, preds_tr,
+                                           pair_mask)
+    res_f = jnp.asarray(res, pc.dtype)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS), P()),
+             out_specs=P())
+    def _refine(pc_, tr_, idxs_, mask_, T0_):
+        w0 = mask_.astype(pc_.dtype)
+        cutoffs = jnp.linspace(3.0, 0.75, iters) * res_f
+
+        def gn_step(i, c):
+            H, g, wsum = center_refine_terms(pc_, tr_, idxs_, c, w0,
+                                             cutoffs[i])
+            H = jax.lax.psum(H, PAIR_AXIS)
+            g = jax.lax.psum(g, PAIR_AXIS)
+            wsum = jax.lax.psum(wsum, PAIR_AXIS)
+            H = H + 1e-4 * jnp.trace(H) * jnp.eye(3, dtype=pc_.dtype) + 1e-9
+            delta = jnp.linalg.solve(H, g)
+            ok = jnp.isfinite(delta).all() & (wsum >= min_pairs)
+            return jnp.where(ok, c + delta, c)
+
+        c = jax.lax.fori_loop(0, iters, gn_step, T0_)
+        d = c - T0_
+        dn = jnp.linalg.norm(d)
+        c = T0_ + d * jnp.minimum(1.0, 2.0 * res_f / (dn + 1e-9))
+        return jnp.where(jnp.isfinite(c).all(), c, T0_)
+
+    return _refine(pc, tr_p, idxs_p, mask_p, T_init)
+
+
 def sharded_sphere_histogram(mesh, pc, angles, sub_idxs, sphere_pts, cos_tol,
                              n_rots=72):
     """rot-vote expansion + sphere binning with the candidate-pair axis
@@ -225,6 +264,9 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
                                     pcfg.res, grid_dims, T_est, 3.0 * pcfg.res,
                                     n_rots=pcfg.num_rots)
     pair_mask = pair_mask & base_mask
+    if pcfg.subvoxel_refine:
+        T_est = sharded_center_refine(mesh, pc, preds_tr, point_idxs, T_est,
+                                      pair_mask, pcfg.res)
 
     # ---- axes (sharded sphere histograms) ----------------------------------
     up = _vote_axis_sharded(mesh, rng_up, pc, pc_normal, point_idxs, pair_mask,
@@ -264,6 +306,9 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
                                         corner, pcfg.res, grid_dims, T_est,
                                         3.0 * pcfg.res, n_rots=pcfg.num_rots)
         pair_mask = pair_mask & base_mask
+        if pcfg.subvoxel_refine:
+            T_est = sharded_center_refine(mesh, pc, preds_tr, point_idxs,
+                                          T_est, pair_mask, pcfg.res)
 
     if pcfg.regress_right:
         right_w = None

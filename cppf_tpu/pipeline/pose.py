@@ -27,6 +27,7 @@ from cppf_tpu.models.encoders import PointEncoder, PPFEncoder
 from cppf_tpu.ops.knn import knn_indices
 from cppf_tpu.ops.voting import (
     backvote,
+    center_refine,
     grid_argmax,
     ppf_vote,
     ppf_vote_peak,
@@ -116,6 +117,12 @@ class PoseConfig:
     # inference-side; the reference has no second pass
     # (nocs/inference.py:199-214 votes once, uniformly).
     asym_center_refine: bool = False
+    # Sub-voxel Gauss-Newton center solve on the back-vote survivors
+    # (ops/voting.py::center_refine): removes the ~res/2 voxel-argmax
+    # quantisation floor the reference accepts (nocs/inference.py:208-211).
+    # Trust-region-clamped to 2·res and outlier-trimmed at the back-vote
+    # tolerance, so it can only move within the peak's consistency band.
+    subvoxel_refine: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -142,6 +149,7 @@ class PoseConfig:
             aux_align_weight=cfg.aux_align_weight,
             asym_right_votes=cfg.asym_right_votes,
             asym_center_refine=cfg.asym_center_refine,
+            subvoxel_refine=cfg.subvoxel_refine,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -371,6 +379,9 @@ def vote_pose(
         3.0 * pcfg.res, n_rots=pcfg.num_rots,
     )
     pair_mask = pair_mask & base_mask
+    if pcfg.subvoxel_refine:
+        T_est = center_refine(pc, preds_tr, point_idxs, T_est, pair_mask,
+                              pcfg.res)
 
     # --- orientation axes ----------------------------------------------------
     up = _vote_axis(
@@ -420,6 +431,9 @@ def vote_pose(
             3.0 * pcfg.res, n_rots=pcfg.num_rots,
         )
         pair_mask = pair_mask & base_mask
+        if pcfg.subvoxel_refine:
+            T_est = center_refine(pc, preds_tr, point_idxs, T_est, pair_mask,
+                                  pcfg.res)
 
     if pcfg.regress_right:
         right_w = None

@@ -65,7 +65,8 @@ def test_sharded_estimate_pose_matches_single(rng, center_mode):
     pcfg = PoseConfig.from_config(cfg, n_pairs=2048)
     pcfg = PoseConfig(**{**pcfg.__dict__, "rot_subsample": 512, "num_rots": 16,
                          "knn": 16, "center_mode": center_mode,
-                         "grid_shape": (48, 48, 48)})
+                         "grid_shape": (48, 48, 48),
+                         "subvoxel_refine": True})
 
     pc_cam = sample_surface(PRIMITIVES["mug"](), 1500, rng).astype(np.float32) \
         + np.float32([0.05, -0.02, 0.6])
@@ -88,7 +89,9 @@ def test_sharded_estimate_pose_matches_single(rng, center_mode):
     multi = sharded_estimate_pose(mesh, key, p_pt, p_pf, pre.pc, pre.normals,
                                   pre.n_valid, sphere, pcfg, nbr_idx=pre.nbr_idx)
 
-    np.testing.assert_allclose(np.asarray(multi.T), np.asarray(single.T), atol=1e-6)
+    # T is continuous under subvoxel_refine (GN solve on psum'd terms), so
+    # summation order shows up at float-eps scale rather than voxel-exact
+    np.testing.assert_allclose(np.asarray(multi.T), np.asarray(single.T), atol=2e-5)
     np.testing.assert_allclose(np.asarray(multi.up), np.asarray(single.up), atol=1e-5)
     np.testing.assert_allclose(np.asarray(multi.R), np.asarray(single.R), atol=1e-5)
     np.testing.assert_allclose(np.asarray(multi.scale), np.asarray(single.scale),

@@ -293,3 +293,41 @@ def test_rot_vote_sphere_count_weighted(rng):
     halves = rot_vote_sphere_count(pc, angles, idxs, sphere, cos_tol, n_rots=24,
                                    weights=jnp.full(200, 0.5))
     np.testing.assert_allclose(np.asarray(halves), np.asarray(base) * 0.5, atol=1e-4)
+
+
+def test_center_refine_oracle_exact(rng):
+    """center_refine recovers the exact center from clean circle constraints
+    (sub-0.1mm with bin-level prediction noise); gated off below min_pairs."""
+    import jax.numpy as jnp
+
+    from cppf_tpu.ops.voting import center_refine
+
+    o = np.array([0.1, -0.05, 0.8], np.float32)
+    pc = (rng.standard_normal((1024, 3)) * 0.08 + o).astype(np.float32)
+    idxs = rng.integers(0, 1024, size=(8000, 2)).astype(np.int32)
+    a, b = pc[idxs[:, 0]], pc[idxs[:, 1]]
+    ab = a - b
+    abu = ab / (np.linalg.norm(ab, axis=-1, keepdims=True) + 1e-9)
+    proj = np.sum((a - o) * abu, -1)
+    od = np.linalg.norm((a - o) - proj[:, None] * abu, axis=-1)
+    preds_tr = np.stack([proj, od], -1).astype(np.float32)
+
+    res = 0.004
+    T0 = (o + np.array([0.6, -0.4, 0.5], np.float32) * res).astype(np.float32)
+    mask = np.ones(8000, bool)
+    T = center_refine(jnp.array(pc), jnp.array(preds_tr), jnp.array(idxs),
+                      jnp.array(T0), jnp.array(mask), res)
+    assert np.linalg.norm(np.asarray(T) - o) < 1e-5
+
+    # bin-quantisation-level noise: still well below the voxel floor
+    noise = rng.standard_normal(preds_tr.shape).astype(np.float32) * 0.0019
+    T2 = center_refine(jnp.array(pc), jnp.array(preds_tr + noise),
+                       jnp.array(idxs), jnp.array(T0), jnp.array(mask), res)
+    assert np.linalg.norm(np.asarray(T2) - o) < 5e-4
+
+    # min-pairs gate: too few survivors -> identity
+    few = np.zeros(8000, bool)
+    few[:8] = True
+    T3 = center_refine(jnp.array(pc), jnp.array(preds_tr), jnp.array(idxs),
+                       jnp.array(T0), jnp.array(few), res)
+    np.testing.assert_allclose(np.asarray(T3), T0, atol=1e-7)
