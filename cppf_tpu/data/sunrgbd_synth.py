@@ -69,8 +69,21 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
             mesh = random_primitive(category, rng)
             lo, hi = mesh_bounds(mesh)
             diag = float(np.linalg.norm(hi - lo))
-            tgt = target_diag if target_diag is not None else 1.5
-            k = rng.uniform(0.8, 1.2) * tgt / diag
+            if target_diag is not None:
+                world_diag = rng.uniform(0.8, 1.2) * target_diag
+            else:
+                # draw the world diagonal from the category's TRAINING scale
+                # distribution (reference utils/dataset.py:180 scales by a
+                # uniform draw over scale_range), clipped to what the fixed
+                # scene layout can host — out-of-distribution object sizes
+                # make the scale regression revert to the training mean
+                # (measured: 1.5 m scenes of beds trained on 1.5-4.1 m
+                # predicted ~the mean bed, IoU luck)
+                from cppf_tpu.config import load_config
+
+                lo_s, hi_s = load_config(category).scale_range
+                world_diag = rng.uniform(max(lo_s, 1.0), min(hi_s, 2.4))
+            k = world_diag / diag
             pts = (sample_surface(mesh, pts_per_obj, rng) - (lo + hi) / 2) * k
             extents = (hi - lo) * k
 
@@ -86,9 +99,16 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
             segments.append(np.arange(offset, offset + pts_per_obj))
             offset += pts_per_obj
             # bbox row layout per sunrgbd/eval.py:87-92:
-            # (tx,ty,tz) = bbox[0,2,1]; (sx,sy,sz) = bbox[3,5,4]; ry = -bbox[6]
+            # (tx,ty,tz) = bbox[0,2,1]; (sx,sy,sz) = bbox[3,5,4]; ry = -bbox[6].
+            # Official SUN RGB-D coeffs are HALF-extents, and the whole
+            # reference chain is consistently half-extent (driver scale
+            # decodes without the NOCS x2, sunrgbd/inference.py:281; eval
+            # slices coeffs straight into the box) — store coeffs here too,
+            # or real driver predictions score IoU 0 against full-extent GT
+            # while the self-consistent GT-oracle check still passes.
+            coeffs = extents / 2.0
             bboxes.append([t_gt[0], t_gt[2], t_gt[1],
-                           extents[0], extents[2], extents[1],
+                           coeffs[0], coeffs[2], coeffs[1],
                            -ry, class_id])
 
         floor = np.stack([
