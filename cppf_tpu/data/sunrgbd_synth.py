@@ -65,24 +65,32 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
 
         pcs, segments, bboxes = [], [], []
         offset = 0
+        # draw all sizes first so placement can respect neighbours: object
+        # world diagonals come from the category's TRAINING scale
+        # distribution (reference utils/dataset.py:180 scales by a uniform
+        # draw over scale_range), clipped to a hostable scene — out-of-
+        # distribution sizes make the scale regression revert to the
+        # training mean (measured: 1.5 m scenes of beds trained on
+        # 1.5-4.1 m predicted ~the mean bed, IoU luck)
+        if target_diag is not None:
+            diags = [rng.uniform(0.8, 1.2) * target_diag
+                     for _ in range(instances)]
+        else:
+            from cppf_tpu.config import load_config
+
+            lo_s, hi_s = load_config(category).scale_range
+            diags = [rng.uniform(max(lo_s, 1.0), min(hi_s, 4.5))
+                     for _ in range(instances)]
+        # cumulative x so adjacent instances never overlap regardless of size
+        gaps = [0.0]
+        for i in range(1, instances):
+            gaps.append(gaps[-1] + 0.62 * (diags[i - 1] + diags[i]) + 0.4)
+        x_centers = np.array(gaps) - (gaps[-1] / 2 if instances > 1 else 0.0)
         for inst in range(instances):
             mesh = random_primitive(category, rng)
             lo, hi = mesh_bounds(mesh)
             diag = float(np.linalg.norm(hi - lo))
-            if target_diag is not None:
-                world_diag = rng.uniform(0.8, 1.2) * target_diag
-            else:
-                # draw the world diagonal from the category's TRAINING scale
-                # distribution (reference utils/dataset.py:180 scales by a
-                # uniform draw over scale_range), clipped to what the fixed
-                # scene layout can host — out-of-distribution object sizes
-                # make the scale regression revert to the training mean
-                # (measured: 1.5 m scenes of beds trained on 1.5-4.1 m
-                # predicted ~the mean bed, IoU luck)
-                from cppf_tpu.config import load_config
-
-                lo_s, hi_s = load_config(category).scale_range
-                world_diag = rng.uniform(max(lo_s, 1.0), min(hi_s, 2.4))
+            world_diag = diags[inst]
             k = world_diag / diag
             pts = (sample_surface(mesh, pts_per_obj, rng) - (lo + hi) / 2) * k
             extents = (hi - lo) * k
@@ -90,9 +98,9 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
             ry = rng.uniform(0, 2 * np.pi)
             R_gt = _roty(ry)
             t_gt = np.array([
-                2.2 * (inst - (instances - 1) / 2) + rng.uniform(-0.2, 0.2),
+                x_centers[inst] + rng.uniform(-0.2, 0.2),
                 extents[1] / 2,
-                3.0 + 0.8 * inst + rng.uniform(-0.2, 0.2),
+                2.0 + max(1.0, max(diags)) + 0.8 * inst + rng.uniform(-0.2, 0.2),
             ])
             p_world = pts @ R_gt.T + t_gt
             pcs.append((p_world @ EX.T).astype(np.float32))

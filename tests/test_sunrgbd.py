@@ -109,3 +109,27 @@ def test_sunrgbd_synthetic_driver_chain(tmp_path, rng):
         "--sunrgbd_extra_dir", extra, "--categories", "table"])
     iou_aps, pose_aps, _, _ = aps["table"]
     assert iou_aps.shape[1] == 101 and np.all((iou_aps >= 0) & (iou_aps <= 1))
+
+
+def test_scene_bbox_coeffs_are_half_extents(tmp_path):
+    """The synthetic scans must store OFFICIAL SUN RGB-D half-extent coeffs:
+    the driver's scale decode (no NOCS x2, reference sunrgbd/inference.py:281)
+    and the eval's box construction are both half-extent, and a full-extent
+    GT silently zeroes the IoU of correct predictions while the
+    self-consistent GT-oracle check keeps passing (r3 regression)."""
+    import numpy as np
+
+    from cppf_tpu.data.sunrgbd_synth import make_scans
+    from cppf_tpu.eval.sunrgbd_inference import TYPE2CLASS
+
+    sun = str(tmp_path / "sun")
+    extra = str(tmp_path / "extra")
+    make_scans(sun, extra, "table", TYPE2CLASS["table"], 1, instances=1,
+               pts_per_obj=800, seed=3)
+    root = f"{extra}/sunrgbd_pc_bbox_votes_50k_v1_val"
+    bbox = np.load(f"{root}/1_bbox.npy")[0]
+    # the generator rests objects on the floor: center height t_y equals the
+    # half-height, so the gravity-axis coeff (bbox[5]) must equal t_y
+    # (bbox[2]) exactly under the coeff convention — a full-extent bbox
+    # would store 2*t_y there
+    np.testing.assert_allclose(bbox[5], bbox[2], rtol=1e-6)
