@@ -86,13 +86,13 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
         for i in range(1, instances):
             gaps.append(gaps[-1] + 0.62 * (diags[i - 1] + diags[i]) + 0.4)
         x_centers = np.array(gaps) - (gaps[-1] / 2 if instances > 1 else 0.0)
+        insts = []
         for inst in range(instances):
             mesh = random_primitive(category, rng)
             lo, hi = mesh_bounds(mesh)
             diag = float(np.linalg.norm(hi - lo))
             world_diag = diags[inst]
             k = world_diag / diag
-            pts = (sample_surface(mesh, pts_per_obj, rng) - (lo + hi) / 2) * k
             extents = (hi - lo) * k
 
             ry = rng.uniform(0, 2 * np.pi)
@@ -102,10 +102,8 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
                 extents[1] / 2,
                 2.0 + max(1.0, max(diags)) + 0.8 * inst + rng.uniform(-0.2, 0.2),
             ])
-            p_world = pts @ R_gt.T + t_gt
-            pcs.append((p_world @ EX.T).astype(np.float32))
-            segments.append(np.arange(offset, offset + pts_per_obj))
-            offset += pts_per_obj
+            v_world = ((mesh.vertices - (lo + hi) / 2) * k) @ R_gt.T + t_gt
+            insts.append((mesh, k, lo, hi, v_world, R_gt, t_gt))
             # bbox row layout per sunrgbd/eval.py:87-92:
             # (tx,ty,tz) = bbox[0,2,1]; (sx,sy,sz) = bbox[3,5,4]; ry = -bbox[6].
             # Official SUN RGB-D coeffs are HALF-extents, and the whole
@@ -118,6 +116,43 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
             bboxes.append([t_gt[0], t_gt[2], t_gt[1],
                            coeffs[0], coeffs[2], coeffs[1],
                            -ry, class_id])
+
+        # ---- single-view depth rendering (real SUN RGB-D scans are one
+        # Kinect view — objects are PARTIALLY visible, like the training
+        # renders; full-surface sampling was both off-protocol and
+        # off-distribution).  Raster camera: v_raster = p_world*[-1,-1,1],
+        # whose backprojection (K-inv lift + NOCS x/y negation,
+        # core/geometry.py::backproject) returns p_world directly.
+        from cppf_tpu.data import native
+
+        fx = fy = 570.0  # Kinect-class focal, SUN RGB-D kv1 ballpark
+        cx, cy, W, H = 320.0, 240.0, 640, 480
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        flip = np.array([-1.0, -1.0, 1.0])
+        dmaps = np.stack([
+            native.rasterize_depth((v_world * flip).astype(np.float32),
+                                   mesh.faces, fx, fy, cx, cy, W, H)
+            for (mesh, _, _, _, v_world, _, _) in insts
+        ])
+        occ = np.where(dmaps > 0, dmaps, np.inf)
+        winner = np.argmin(occ, axis=0)
+        combined = np.min(occ, axis=0)
+        for inst, (mesh, k, lo, hi, v_world, R_gt, t_gt) in enumerate(insts):
+            m = (winner == inst) & np.isfinite(combined)
+            if m.sum() >= 200:
+                depth = np.where(m, combined, 0.0).astype(np.float32)
+                p_world, _ = backproject(depth, K, m)  # == p_world (see above)
+                if len(p_world) > pts_per_obj:
+                    pick = rng.choice(len(p_world), pts_per_obj, replace=False)
+                    p_world = p_world[pick]
+            else:
+                # degenerate view (out of frustum / fully occluded): fall
+                # back to posed surface sampling so the scan stays well-formed
+                pts = (sample_surface(mesh, pts_per_obj, rng) - (lo + hi) / 2) * k
+                p_world = pts @ R_gt.T + t_gt
+            pcs.append((p_world @ EX.T).astype(np.float32))
+            segments.append(np.arange(offset, offset + len(p_world)))
+            offset += len(p_world)
 
         floor = np.stack([
             rng.uniform(-4, 4, 2000), rng.uniform(1, 6, 2000), np.zeros(2000),
