@@ -40,16 +40,19 @@ fresh () {  # clear a checkpoint dir exactly once per queue
 
 T="python -m cppf_tpu.train.loop batch_size=2 npoint_pad=4096 resume=true"
 
-run_item $T category=bookshelf max_epoch=200 out_dir=checkpoints/bookshelf
-run_item $T category=bathtub   max_epoch=200 out_dir=checkpoints/bathtub
-echo QUEUE6_SUN_DONE
-
+# NOCS accuracy retrains first (the VERDICT targets): with the tunnel out
+# for 5+ h the queue may not finish, and bookshelf/bathtub have committed
+# r2 fallbacks while bottle/mug/camera fixes have none.
 fresh checkpoints/bottle
 run_item $T category=bottle max_epoch=200 out_dir=checkpoints/bottle
 fresh checkpoints/mug
 run_item $T category=mug    max_epoch=200 aux_asym=true out_dir=checkpoints/mug
 fresh checkpoints/camera
 run_item $T category=camera max_epoch=200 aux_asym=true out_dir=checkpoints/camera
+echo QUEUE6_NOCS_DONE
+
+run_item $T category=bookshelf max_epoch=200 out_dir=checkpoints/bookshelf
+run_item $T category=bathtub   max_epoch=200 out_dir=checkpoints/bathtub
 fresh checkpoints/laptop
 run_item $T category=laptop max_epoch=200 up_rot_base=true out_dir=checkpoints/laptop
 echo QUEUE6_DONE
