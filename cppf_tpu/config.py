@@ -95,6 +95,9 @@ class Config:
     # removes the voxel-argmax quantisation floor; see
     # PoseConfig.subvoxel_refine.
     subvoxel_refine: bool = False
+    # Geometric right-axis sign from the protrusion-centroid direction
+    # (right = ĥ × up); see PoseConfig.geo_right_sign.
+    geo_right_sign: bool = False
 
     # Train-side: additionally scale the right-bit aux weight by the pair's
     # radial-asymmetry score (core/targets.py::radial_asymmetry) so only

@@ -67,7 +67,8 @@ class CategoryRunner:
         # trained before a flag existed still benefit (the snapshot governs
         # everything that must match training — bins, symmetry, ranges).
         repo_cfg = load_config(cls_name)
-        for k in ("asym_right_votes", "asym_center_refine", "subvoxel_refine"):
+        for k in ("asym_right_votes", "asym_center_refine", "subvoxel_refine",
+                  "geo_right_sign"):
             setattr(self.cfg, k, getattr(repo_cfg, k))
         self.pcfg = PoseConfig.from_config(self.cfg, scale_multiplier=2.0)
         self.sphere = jnp.array(self.pcfg.sphere_points())

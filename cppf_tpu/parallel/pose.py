@@ -322,6 +322,20 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
         right = _vote_axis_sharded(mesh, rng_right, pc, pc_normal, point_idxs,
                                    pair_mask, right_logits, right_aux,
                                    sphere_pts, pcfg, pair_weights=right_w)
+        if pcfg.geo_right_sign:
+            # replicated per-point math, identical to pipeline.pose
+            from cppf_tpu.core.targets import radial_asymmetry_about
+
+            n = pc.shape[0]
+            asym_s = radial_asymmetry_about(pc, T_est, up, n_valid)
+            w_pt = jnp.where(jnp.arange(n) < n_valid, asym_s, 0.0)
+            cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
+            cen = cen - jnp.dot(cen, up) * up
+            cen_n = jnp.linalg.norm(cen)
+            h_dir = cen / (cen_n + 1e-9)
+            gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
+            flip = gate & (jnp.dot(right, jnp.cross(h_dir, up)) < 0)
+            right = jnp.where(flip, -right, right)
         right = orthonormal_right(up, right)
     else:
         right = jnp.stack([jnp.zeros_like(up[0]), -up[2], up[1]])

@@ -123,6 +123,16 @@ class PoseConfig:
     # Trust-region-clamped to 2·res and outlier-trimmed at the back-vote
     # tolerance, so it can only move within the peak's consistency band.
     subvoxel_refine: bool = False
+    # Geometric right-axis SIGN for handle-bodied categories (mug): the
+    # learned aux bit trains to ~chance on near-revolution families (the
+    # reference inherits the same failure, nocs/inference.py:286-302), but
+    # the handle's radial-asymmetry centroid direction ĥ fixes the sign
+    # deterministically — the mug family's protrusion is canonically −z, so
+    # right(+x) = ĥ × up.  Requires the unbiased (asym-refined) center:
+    # with the handle-ward T bias the centroid direction inverts (session-5
+    # failure, ROUND_NOTES).  Gates off when the protrusion is occluded
+    # (falls back to the learned bit).
+    geo_right_sign: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -150,6 +160,7 @@ class PoseConfig:
             asym_right_votes=cfg.asym_right_votes,
             asym_center_refine=cfg.asym_center_refine,
             subvoxel_refine=cfg.subvoxel_refine,
+            geo_right_sign=cfg.geo_right_sign,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -450,6 +461,19 @@ def vote_pose(
             rng_right, pc, pc_normal, point_idxs, pair_mask, right_logits,
             right_aux, sphere_pts, pcfg, pair_weights=right_w,
         )
+        if pcfg.geo_right_sign:
+            from cppf_tpu.core.targets import radial_asymmetry_about
+
+            asym_s = radial_asymmetry_about(pc, T_est, up, n_valid)
+            w_pt = jnp.where(jnp.arange(n) < n_valid, asym_s, 0.0)
+            cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
+            cen = cen - jnp.dot(cen, up) * up
+            cen_n = jnp.linalg.norm(cen)
+            h_dir = cen / (cen_n + 1e-9)
+            right_geo = jnp.cross(h_dir, up)
+            gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
+            flip = gate & (jnp.dot(right, right_geo) < 0)
+            right = jnp.where(flip, -right, right)
         right = orthonormal_right(up, right)
     else:
         right = jnp.stack([jnp.zeros_like(up[0]), -up[2], up[1]])
