@@ -52,6 +52,10 @@ run_item $T category=camera max_epoch=200 aux_asym=true out_dir=checkpoints/came
 echo QUEUE6_NOCS_DONE
 
 run_item $T category=bookshelf max_epoch=200 out_dir=checkpoints/bookshelf
+# bathtub's r2 checkpoint was restored into the working tree as a fallback;
+# clear it only when this item actually starts (64-bin retrain can't warm
+# start from the 32-bin r2 head)
+fresh checkpoints/bathtub
 run_item $T category=bathtub   max_epoch=200 out_dir=checkpoints/bathtub
 fresh checkpoints/laptop
 run_item $T category=laptop max_epoch=200 up_rot_base=true out_dir=checkpoints/laptop
