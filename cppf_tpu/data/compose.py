@@ -365,11 +365,21 @@ def random_laptop(rng) -> Mesh:
 
 def random_table(rng) -> Mesh:
     """Leg styles: 4 legs / pedestal / trestle panels; round or rectangular
-    top; optional apron and lower shelf."""
+    top; optional apron and lower shelf; desk variants with a drawer
+    pedestal under the +x side.
+
+    Most tables are 2-fold symmetric about up, so the right-axis *sign* is
+    unlearnable on them (the aux bit trains to chance — same for the
+    reference, whose ShapeNet table list also mixes desks in,
+    reference data/shapenet_names/table.txt).  The desk draws carry a
+    consistent +x cue so sign-informative pairs exist in the family at all;
+    pair informativeness weighting (cfg.aux_asym) makes them dominate the
+    aux BCE."""
     w, d = 1.0, rng.uniform(0.45, 1.0)
     h = rng.uniform(0.5, 0.95)
     t = rng.uniform(0.04, 0.1)
     style = rng.uniform()
+    desk = False
     if _maybe(rng, 0.25):  # round top (pedestal-biased)
         rad = w / 2
         top = _translate(make_lathe([(0.0, rad), (t, rad)]), (0, h - t, 0))
@@ -377,7 +387,33 @@ def random_table(rng) -> Mesh:
         style = 0.9 if _maybe(rng, 0.8) else style
     else:
         top = _translate(make_box((w, t, d)), (0, h - t / 2, 0))
+        if _maybe(rng, 0.35):  # desk: drawer pedestal under the +x side
+            desk = True
+            bw = w * rng.uniform(0.25, 0.4)
+            bd = d * rng.uniform(0.7, 0.95)
+            bank = _translate(make_box((bw, h - t, bd)),
+                              ((w - bw) / 2 - w * 0.02, (h - t) / 2, 0))
+            if _maybe(rng, 0.5):  # drawer-face steps (depth-visible seams)
+                nd = int(rng.integers(2, 5))
+                for i in range(nd):
+                    fh = (h - t) / nd
+                    bank = _merge(bank, _translate(
+                        make_box((bw * 0.9, fh * 0.75, 0.015)),
+                        ((w - bw) / 2 - w * 0.02,
+                         fh * (i + 0.5), bd / 2)))
+            parts_extra = [bank]
+        else:
+            parts_extra = []
     parts = [top]
+    if desk:
+        parts += parts_extra
+        # support the open side with two -x legs
+        lt = rng.uniform(0.04, 0.08)
+        for sz in (-1, 1):
+            parts.append(_translate(make_box((lt, h - t, lt)),
+                                    (-(w / 2 - lt), (h - t) / 2,
+                                     sz * (d / 2 - lt))))
+        return displace(_merge(*parts), rng, rng.uniform(0.0, 0.004))
     if style < 0.55:  # 4 legs
         lt = rng.uniform(0.04, 0.1)
         inset = rng.uniform(1.0, 2.0)

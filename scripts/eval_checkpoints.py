@@ -48,6 +48,7 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
     is_nocs = category in NOCS_CATEGORIES
 
     t_errs, up_errs, right_errs, s_errs = [], [], [], []
+    right_line_errs, t_up_errs, t_perp_errs = [], [], []
     attempts = 0
     while len(t_errs) < n_poses and attempts < n_poses * 3:
         attempts += 1
@@ -82,6 +83,12 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
 
         t_errs.append(float(np.linalg.norm(T_est - T)))
         up_true = R[:, 1]
+        # decompose the T error along/perpendicular to the GT up axis — big
+        # flat categories (table) hide their center under the top plane, so
+        # the up component isolates "height inferred wrong" from lateral drift
+        dT = T_est - T
+        t_up_errs.append(float(abs(np.dot(dT, up_true))))
+        t_perp_errs.append(float(np.linalg.norm(dT - np.dot(dT, up_true) * up_true)))
         cos_signed = float(np.dot(up_est, up_true))
         up_errs.append(float(np.degrees(np.arccos(np.clip(cos_signed, -1, 1)))))
         if runner.cfg.regress_right:
@@ -93,6 +100,10 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
             if runner.cfg.right_sym:
                 cr = abs(cr)
             right_errs.append(float(np.degrees(np.arccos(np.clip(cr, -1, 1)))))
+            # axis LINE error (sign folded) — separates "line wrong" from
+            # "sign at chance" (2-fold-symmetric bodies cannot learn the sign)
+            right_line_errs.append(
+                float(np.degrees(np.arccos(np.clip(abs(cr), 0, 1)))))
         bound = (hi - lo) / diag * scale
         s_errs.append(float(abs(np.linalg.norm(s_est) - np.linalg.norm(bound))
                             / np.linalg.norm(bound)))
@@ -102,8 +113,11 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
         "scale_err_pct_median": round(float(np.median(s_errs)) * 100, 1),
         "n_poses": len(t_errs),
     }
+    out["t_err_up_mm_median"] = round(float(np.median(t_up_errs)) * 1000, 1)
+    out["t_err_perp_mm_median"] = round(float(np.median(t_perp_errs)) * 1000, 1)
     if right_errs:
         out["right_err_deg_median"] = round(float(np.median(right_errs)), 1)
+        out["right_line_deg_median"] = round(float(np.median(right_line_errs)), 1)
     return out
 
 

@@ -181,3 +181,22 @@ def test_shapenet_dataset_primitive_fallback():
     extent = s.pc.max(0) - s.pc.min(0)
     assert np.all(extent < cfg.scale_range[1] * 1.2)
     assert cfg.scale_range[0] <= s.scale <= cfg.scale_range[1]
+
+
+def test_table_desk_variant_sign_cue():
+    """The table family's desk draws put drawer-pedestal mass on +x only —
+    a consistent right-axis sign cue (contradictory cues train the aux bit
+    to chance; see the round-2 camera-family lesson in compose.py)."""
+    from cppf_tpu.data.compose import random_table
+    from cppf_tpu.data.synthetic import sample_surface
+
+    rng = np.random.default_rng(0)
+    offs = []
+    for _ in range(40):
+        m = random_table(rng)
+        pts = sample_surface(m, 4096, rng)
+        diag = np.linalg.norm(pts.max(0) - pts.min(0))
+        offs.append(float(pts[:, 0].mean() / diag))
+    offs = np.array(offs)
+    assert (offs > 0.02).sum() >= 5     # desk draws exist and carry the cue
+    assert (offs < -0.02).sum() == 0    # and the cue never flips
