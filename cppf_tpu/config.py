@@ -98,6 +98,9 @@ class Config:
     # Geometric right-axis sign from the protrusion-centroid direction
     # (right = ĥ × up); see PoseConfig.geo_right_sign.
     geo_right_sign: bool = False
+    # Protrusion→right mapping: "cross" (mug handle ⊥ right) or "direct"
+    # (table drawer pedestal along +x); see PoseConfig.geo_right_dir.
+    geo_right_dir: str = "cross"
 
     # Train-side: additionally scale the right-bit aux weight by the pair's
     # radial-asymmetry score (core/targets.py::radial_asymmetry) so only

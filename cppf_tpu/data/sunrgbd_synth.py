@@ -22,6 +22,7 @@ import pickle
 
 import numpy as np
 
+from cppf_tpu.core.geometry import backproject
 from cppf_tpu.data.synthetic import mesh_bounds, random_primitive, sample_surface
 
 EX = np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0]], dtype=np.float64)
@@ -79,8 +80,10 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
             from cppf_tpu.config import load_config
 
             lo_s, hi_s = load_config(category).scale_range
-            diags = [rng.uniform(max(lo_s, 1.0), min(hi_s, 4.5))
-                     for _ in range(instances)]
+            lo_c, hi_c = max(lo_s, 1.0), min(hi_s, 4.5)
+            if hi_c <= lo_c:  # range entirely outside [1, 4.5] (small objects
+                lo_c, hi_c = lo_s, hi_s  # under default config): keep as-is
+            diags = [rng.uniform(lo_c, hi_c) for _ in range(instances)]
         # cumulative x so adjacent instances never overlap regardless of size
         gaps = [0.0]
         for i in range(1, instances):
@@ -120,15 +123,16 @@ def make_scans(sunrgbd_dir: str, extra_dir: str, category: str, class_id: int,
         # ---- single-view depth rendering (real SUN RGB-D scans are one
         # Kinect view — objects are PARTIALLY visible, like the training
         # renders; full-surface sampling was both off-protocol and
-        # off-distribution).  Raster camera: v_raster = p_world*[-1,-1,1],
-        # whose backprojection (K-inv lift + NOCS x/y negation,
-        # core/geometry.py::backproject) returns p_world directly.
+        # off-distribution).  Raster camera looks down -z (rasterizer.cpp
+        # culls -z<=0): v_raster = p_world*[-1,1,-1], whose backprojection
+        # (K-inv lift + NOCS x/y negation, core/geometry.py::backproject)
+        # returns p_world exactly (empirically round-trip-verified).
         from cppf_tpu.data import native
 
         fx = fy = 570.0  # Kinect-class focal, SUN RGB-D kv1 ballpark
         cx, cy, W, H = 320.0, 240.0, 640, 480
         K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
-        flip = np.array([-1.0, -1.0, 1.0])
+        flip = np.array([-1.0, 1.0, -1.0])
         dmaps = np.stack([
             native.rasterize_depth((v_world * flip).astype(np.float32),
                                    mesh.faces, fx, fy, cx, cy, W, H)

@@ -631,7 +631,8 @@ def backvote(
     return off.reshape(-1, 3)[:p], mask.reshape(-1)[:p]
 
 
-def center_refine_terms(pc, preds_tr, point_idxs, center, weights, cutoff):
+def center_refine_terms(pc, preds_tr, point_idxs, center, weights, cutoff,
+                        chunk: int = 8192):
     """Gauss-Newton normal-equation terms for the sub-voxel center solve.
 
     Each pair (a, b) with predicted (proj_len, odist) constrains the object
@@ -642,25 +643,66 @@ def center_refine_terms(pc, preds_tr, point_idxs, center, weights, cutoff):
     trimmed at ``cutoff`` (squared sum), matching the back-vote tolerance
     band, so vote outliers cannot drag the solve.
 
-    Returns (H [3,3], g [3], wsum) — plain sums over the pair axis, so a
+    Chunked over pairs like :func:`backvote` (the [P, 3] temporaries would
+    tile-pad ~40x on TPU otherwise — see CLAUDE.md).  Returns
+    (H [3,3], g [3], wsum) — plain sums over the pair axis, so a
     pair-sharded caller psums them and every device solves identically.
     """
-    a, ab_unit, degenerate, _ = pair_frames(pc, point_idxs)
-    proj_len, odist = preds_tr[:, 0], preds_tr[:, 1]
-    am = a - center
-    t = jnp.sum(am * ab_unit, -1)
-    e_ax = t - proj_len
-    r = am - t[:, None] * ab_unit
-    rn = jnp.linalg.norm(r, axis=-1)
-    e_rad = rn - odist
-    r_hat = r / (rn + 1e-9)[:, None]
-    w = weights * (~degenerate) * (e_ax * e_ax + e_rad * e_rad < cutoff * cutoff)
-    w = w.astype(pc.dtype)
-    H = (jnp.einsum("p,pi,pj->ij", w, ab_unit, ab_unit)
-         + jnp.einsum("p,pi,pj->ij", w, r_hat, r_hat))
-    g = jnp.einsum("p,p,pi->i", w, e_ax, ab_unit) + jnp.einsum(
-        "p,p,pi->i", w, e_rad, r_hat)
-    return H, g, jnp.sum(w)
+    p = point_idxs.shape[0]
+    n_chunks = (p + chunk - 1) // chunk
+    pad = n_chunks * chunk - p
+    idxs_p = jnp.pad(point_idxs, ((0, pad), (0, 0)))
+    tr_p = jnp.pad(preds_tr, ((0, pad), (0, 0)))
+    w_p = jnp.pad(weights, (0, pad))  # padded pairs carry zero weight
+
+    def body(args):
+        idxs, tr, w_in = args
+        a, ab_unit, degenerate, _ = pair_frames(pc, idxs)
+        proj_len, odist = tr[:, 0], tr[:, 1]
+        am = a - center
+        t = jnp.sum(am * ab_unit, -1)
+        e_ax = t - proj_len
+        r = am - t[:, None] * ab_unit
+        rn = jnp.linalg.norm(r, axis=-1)
+        e_rad = rn - odist
+        r_hat = r / (rn + 1e-9)[:, None]
+        w = w_in * (~degenerate) * (e_ax * e_ax + e_rad * e_rad
+                                    < cutoff * cutoff)
+        w = w.astype(pc.dtype)
+        H = (jnp.einsum("p,pi,pj->ij", w, ab_unit, ab_unit)
+             + jnp.einsum("p,pi,pj->ij", w, r_hat, r_hat))
+        g = jnp.einsum("p,p,pi->i", w, e_ax, ab_unit) + jnp.einsum(
+            "p,p,pi->i", w, e_rad, r_hat)
+        return H, g, jnp.sum(w)
+
+    Hs, gs, ws = lax.map(body, (idxs_p.reshape(n_chunks, chunk, 2),
+                                tr_p.reshape(n_chunks, chunk, 2),
+                                w_p.reshape(n_chunks, chunk)))
+    return jnp.sum(Hs, 0), jnp.sum(gs, 0), jnp.sum(ws)
+
+
+def center_refine_solve(H, g, wsum, c, min_pairs, dtype):
+    """One damped GN update from (possibly psum'd) normal-equation terms."""
+    H = H + 1e-4 * jnp.trace(H) * jnp.eye(3, dtype=dtype) + 1e-9
+    delta = jnp.linalg.solve(H, g)
+    ok = jnp.isfinite(delta).all() & (wsum >= min_pairs)
+    return jnp.where(ok, c + delta, c)
+
+
+def center_refine_cutoffs(res, iters: int):
+    """Annealed trim schedule: start at the back-vote band, end sub-voxel —
+    the shrinking inlier set makes the solve converge to the consistency
+    MODE (like the vote peak) instead of the bias-sensitive global
+    least-squares mean."""
+    return jnp.linspace(3.0, 0.75, iters) * res
+
+
+def center_refine_clamp(c, T_init, res):
+    """2·res trust region around the voted peak + finite fallback."""
+    d = c - T_init
+    dn = jnp.linalg.norm(d)
+    c = T_init + d * jnp.minimum(1.0, 2.0 * res / (dn + 1e-9))
+    return jnp.where(jnp.isfinite(c).all(), c, T_init)
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -679,32 +721,23 @@ def center_refine(
     ~res/2 quantisation error by construction).
 
     Fixed-count Gauss-Newton on the back-vote-surviving pairs' circle
-    constraints, residuals trimmed at the back-vote tolerance (3·res),
-    total correction clamped to a 2·res trust region around the voted
-    peak, and gated off when fewer than ``min_pairs`` pairs survive.
+    constraints, residuals trimmed on an annealed schedule, total
+    correction clamped to a 2·res trust region around the voted peak, and
+    gated off when fewer than ``min_pairs`` pairs survive.  The sharded
+    twin (parallel/pose.py::sharded_center_refine) reuses every piece of
+    this, adding only psums on the terms.
     """
     res = jnp.asarray(res, pc.dtype)
-    w0 = pair_mask.astype(jnp.float32 if pc.dtype == jnp.float32 else pc.dtype)
-
-    # annealed trim: start at the back-vote band, end sub-voxel — the
-    # shrinking inlier set makes the solve converge to the consistency
-    # MODE (like the vote peak) instead of the bias-sensitive global
-    # least-squares mean.
-    cutoffs = jnp.linspace(3.0, 0.75, iters) * res
+    w0 = pair_mask.astype(pc.dtype)
+    cutoffs = center_refine_cutoffs(res, iters)
 
     def gn_step(i, c):
         H, g, wsum = center_refine_terms(pc, preds_tr, point_idxs, c, w0,
                                          cutoffs[i])
-        H = H + 1e-4 * jnp.trace(H) * jnp.eye(3, dtype=pc.dtype) + 1e-9
-        delta = jnp.linalg.solve(H, g)
-        ok = jnp.isfinite(delta).all() & (wsum >= min_pairs)
-        return jnp.where(ok, c + delta, c)
+        return center_refine_solve(H, g, wsum, c, min_pairs, pc.dtype)
 
     c = lax.fori_loop(0, iters, gn_step, T_init)
-    d = c - T_init
-    dn = jnp.linalg.norm(d)
-    c = T_init + d * jnp.minimum(1.0, 2.0 * res / (dn + 1e-9))
-    return jnp.where(jnp.isfinite(c).all(), c, T_init)
+    return center_refine_clamp(c, T_init, res)
 
 
 @partial(jax.jit, static_argnames=("chunk",))

@@ -83,8 +83,15 @@ def sharded_center_refine(mesh, pc, preds_tr, point_idxs, T_init, pair_mask,
     """Pair-sharded twin of ops.voting.center_refine: the Gauss-Newton
     normal-equation terms are plain sums over pairs, so each device
     accumulates its shard and one tiny psum ([3,3]+[3]+[]) per iteration
-    lets every device solve the identical 3-unknown system."""
-    from cppf_tpu.ops.voting import center_refine_terms
+    lets every device solve the identical 3-unknown system.  All numerics
+    (trim schedule, damping, trust region) are the shared helpers in
+    ops.voting — only the psums differ."""
+    from cppf_tpu.ops.voting import (
+        center_refine_clamp,
+        center_refine_cutoffs,
+        center_refine_solve,
+        center_refine_terms,
+    )
 
     p, (idxs_p, tr_p, mask_p) = _pad_pairs(mesh, point_idxs, preds_tr,
                                            pair_mask)
@@ -95,7 +102,7 @@ def sharded_center_refine(mesh, pc, preds_tr, point_idxs, T_init, pair_mask,
              out_specs=P())
     def _refine(pc_, tr_, idxs_, mask_, T0_):
         w0 = mask_.astype(pc_.dtype)
-        cutoffs = jnp.linspace(3.0, 0.75, iters) * res_f
+        cutoffs = center_refine_cutoffs(res_f, iters)
 
         def gn_step(i, c):
             H, g, wsum = center_refine_terms(pc_, tr_, idxs_, c, w0,
@@ -103,16 +110,10 @@ def sharded_center_refine(mesh, pc, preds_tr, point_idxs, T_init, pair_mask,
             H = jax.lax.psum(H, PAIR_AXIS)
             g = jax.lax.psum(g, PAIR_AXIS)
             wsum = jax.lax.psum(wsum, PAIR_AXIS)
-            H = H + 1e-4 * jnp.trace(H) * jnp.eye(3, dtype=pc_.dtype) + 1e-9
-            delta = jnp.linalg.solve(H, g)
-            ok = jnp.isfinite(delta).all() & (wsum >= min_pairs)
-            return jnp.where(ok, c + delta, c)
+            return center_refine_solve(H, g, wsum, c, min_pairs, pc_.dtype)
 
         c = jax.lax.fori_loop(0, iters, gn_step, T0_)
-        d = c - T0_
-        dn = jnp.linalg.norm(d)
-        c = T0_ + d * jnp.minimum(1.0, 2.0 * res_f / (dn + 1e-9))
-        return jnp.where(jnp.isfinite(c).all(), c, T0_)
+        return center_refine_clamp(c, T0_, res_f)
 
     return _refine(pc, tr_p, idxs_p, mask_p, T_init)
 
@@ -294,12 +295,9 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
                                      adaptive=pcfg.adaptive_voting,
                                      pair_mask=base_mask, splat=pcfg.splat)
             T_ref = grid_argmax(grid2, corner, pcfg.res)
-        w_pt = jnp.where(jnp.arange(n) < n_valid, asym_c, 0.0)
-        cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
-        cen = cen - jnp.dot(cen, up) * up
-        cen_n = jnp.linalg.norm(cen)
-        u_h = cen / (cen_n + 1e-9)
-        gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
+        from cppf_tpu.pipeline.pose import _protrusion_centroid
+
+        u_h, gate = _protrusion_centroid(pc, T_est, up, n_valid, asym_c)
         T_est = jnp.where(
             gate, T_est + jnp.dot(T_ref - T_est, u_h) * u_h, T_est)
         _, pair_mask = sharded_backvote(mesh, pc, preds_tr, point_idxs,
@@ -312,10 +310,12 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
 
     if pcfg.regress_right:
         right_w = None
-        if pcfg.asym_right_votes:
+        asym = None
+        if pcfg.asym_right_votes or pcfg.geo_right_sign:
             from cppf_tpu.core.targets import radial_asymmetry_about
 
             asym = radial_asymmetry_about(pc, T_est, up, n_valid)
+        if pcfg.asym_right_votes:
             right_w = 0.05 + 0.95 * jnp.maximum(
                 asym[point_idxs[:, 0]], asym[point_idxs[:, 1]]
             )
@@ -323,17 +323,10 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
                                    pair_mask, right_logits, right_aux,
                                    sphere_pts, pcfg, pair_weights=right_w)
         if pcfg.geo_right_sign:
-            # replicated per-point math, identical to pipeline.pose
-            from cppf_tpu.core.targets import radial_asymmetry_about
+            # replicated per-point math, shared helper with pipeline.pose
+            from cppf_tpu.pipeline.pose import _protrusion_centroid
 
-            n = pc.shape[0]
-            asym_s = radial_asymmetry_about(pc, T_est, up, n_valid)
-            w_pt = jnp.where(jnp.arange(n) < n_valid, asym_s, 0.0)
-            cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
-            cen = cen - jnp.dot(cen, up) * up
-            cen_n = jnp.linalg.norm(cen)
-            h_dir = cen / (cen_n + 1e-9)
-            gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
+            h_dir, gate = _protrusion_centroid(pc, T_est, up, n_valid, asym)
             flip = gate & (jnp.dot(right, jnp.cross(h_dir, up)) < 0)
             right = jnp.where(flip, -right, right)
         right = orthonormal_right(up, right)

@@ -133,6 +133,11 @@ class PoseConfig:
     # failure, ROUND_NOTES).  Gates off when the protrusion is occluded
     # (falls back to the learned bit).
     geo_right_sign: bool = False
+    # How the protrusion direction maps to the right axis: "cross" for
+    # protrusion canonically perpendicular to right (mug handle at −z ⇒
+    # right = ĥ × up), "direct" for protrusion canonically ALONG right
+    # (table desk drawer pedestal at +x ⇒ right = ĥ).
+    geo_right_dir: str = "cross"
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -161,6 +166,7 @@ class PoseConfig:
             asym_center_refine=cfg.asym_center_refine,
             subvoxel_refine=cfg.subvoxel_refine,
             geo_right_sign=cfg.geo_right_sign,
+            geo_right_dir=cfg.geo_right_dir,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -307,6 +313,22 @@ def pair_predictions(
     return point_idxs, preds
 
 
+def _protrusion_centroid(pc, T_est, up, n_valid, asym):
+    """Radial-asymmetry-weighted centroid direction about the (T, up) line,
+    projected off the axis.  Returns (h_dir, gate): ``gate`` is False when
+    the protruding geometry is occluded (no asymmetry mass), so consumers
+    fall back to their first-pass answer.  Shared by asym_center_refine and
+    geo_right_sign (and their sharded twins)."""
+    n = pc.shape[0]
+    w_pt = jnp.where(jnp.arange(n) < n_valid, asym, 0.0)
+    cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
+    cen = cen - jnp.dot(cen, up) * up
+    cen_n = jnp.linalg.norm(cen)
+    h_dir = cen / (cen_n + 1e-9)
+    gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
+    return h_dir, gate
+
+
 def vote_pose(
     rng: jax.Array,
     pc: jnp.ndarray,
@@ -429,12 +451,7 @@ def vote_pose(
         # protrusion direction is the asymmetry-weighted centroid about the
         # up axis; with the geometry occluded the asymmetry mass vanishes
         # and the correction gates itself off.
-        w_pt = jnp.where(jnp.arange(n) < n_valid, asym_c, 0.0)
-        cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
-        cen = cen - jnp.dot(cen, up) * up
-        cen_n = jnp.linalg.norm(cen)
-        u_h = cen / (cen_n + 1e-9)
-        gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
+        u_h, gate = _protrusion_centroid(pc, T_est, up, n_valid, asym_c)
         T_est = jnp.where(
             gate, T_est + jnp.dot(T_ref - T_est, u_h) * u_h, T_est)
         _, pair_mask = backvote(
@@ -448,10 +465,12 @@ def vote_pose(
 
     if pcfg.regress_right:
         right_w = None
-        if pcfg.asym_right_votes:
+        asym = None
+        if pcfg.asym_right_votes or pcfg.geo_right_sign:
             from cppf_tpu.core.targets import radial_asymmetry_about
 
             asym = radial_asymmetry_about(pc, T_est, up, n_valid)
+        if pcfg.asym_right_votes:
             # small floor keeps a trickle of votes when the view hides the
             # asymmetric geometry entirely (handle occluded)
             right_w = 0.05 + 0.95 * jnp.maximum(
@@ -462,17 +481,10 @@ def vote_pose(
             right_aux, sphere_pts, pcfg, pair_weights=right_w,
         )
         if pcfg.geo_right_sign:
-            from cppf_tpu.core.targets import radial_asymmetry_about
-
-            asym_s = radial_asymmetry_about(pc, T_est, up, n_valid)
-            w_pt = jnp.where(jnp.arange(n) < n_valid, asym_s, 0.0)
-            cen = jnp.sum(w_pt[:, None] * (pc - T_est), 0)
-            cen = cen - jnp.dot(cen, up) * up
-            cen_n = jnp.linalg.norm(cen)
-            h_dir = cen / (cen_n + 1e-9)
-            right_geo = jnp.cross(h_dir, up)
-            gate = (cen_n > 1e-6) & (jnp.sum(w_pt) > 1.0)
-            flip = gate & (jnp.dot(right, right_geo) < 0)
+            h_dir, gate = _protrusion_centroid(pc, T_est, up, n_valid, asym)
+            ref_dir = (h_dir if pcfg.geo_right_dir == "direct"
+                       else jnp.cross(h_dir, up))
+            flip = gate & (jnp.dot(right, ref_dir) < 0)
             right = jnp.where(flip, -right, right)
         right = orthonormal_right(up, right)
     else:

@@ -275,3 +275,64 @@ def test_asym_center_refine_gates_off_on_revolution_body(rng):
     # on a revolution body it must stay within a voxel of the first pass
     drift = np.linalg.norm(np.asarray(res_on.T) - np.asarray(res_off.T))
     assert drift <= cfg.res + 1e-6, f"refine drifted {drift} on a revolution body"
+
+
+def test_geo_right_sign_direct_fixes_flipped_aux(rng):
+    """Table desk variant: with the learned right-aux bit adversarially
+    INVERTED (the at-chance regime on 2-fold-symmetric bodies),
+    geo_right_sign with geo_right_dir="direct" must still recover the
+    signed right axis from the +x drawer-pedestal protrusion centroid."""
+    from cppf_tpu.data.synthetic import Mesh, _merge, _translate, make_box
+
+    cfg = load_config("table")
+    assert cfg.geo_right_sign and cfg.geo_right_dir == "direct"
+
+    # desk: top + drawer pedestal under +x + two -x legs (compose.py family)
+    top = _translate(make_box((1.0, 0.06, 0.7)), (0, 0.69, 0))
+    bank = _translate(make_box((0.32, 0.66, 0.6)), (0.32, 0.33, 0))
+    legs = _merge(*[
+        _translate(make_box((0.06, 0.66, 0.06)), (-0.46, 0.33, sz * 0.3))
+        for sz in (-1, 1)])
+    mesh = _merge(top, bank, legs)
+    v = mesh.vertices
+    lo, hi = v.min(0), v.max(0)
+    mesh = Mesh((v - (lo + hi) / 2).astype(np.float32), mesh.faces)
+
+    pc_canon = sample_surface(mesh, 4000, rng) * 1.2
+    ang = np.deg2rad(35.0)
+    R_true = np.array(
+        [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+         [-np.sin(ang), 0, np.cos(ang)]], np.float32,
+    ) @ np.array(
+        [[1, 0, 0], [0, np.cos(0.6), -np.sin(0.6)],
+         [0, np.sin(0.6), np.cos(0.6)]], np.float32)
+    T_true = np.array([0.1, -0.05, 2.2], np.float32)
+    pc_cam = pc_canon @ R_true.T + T_true
+
+    pad = np.zeros((4096, 3), np.float32)
+    pad[:4000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 4000, cfg.res,
+                           npoint_pad=2048, knn=cfg.knn, jitter=False)
+    n = int(pre.n_valid)
+    pc = np.asarray(pre.pc)
+    normals = np.asarray(pre.normals)
+
+    lo, hi = mesh_bounds(mesh)
+    bound = (hi - lo) * 1.2
+    pcfg = PoseConfig.from_config(cfg, n_pairs=10000)
+    idxs = rng.integers(0, n, size=(10000, 2)).astype(np.int32)
+    preds = oracle_pair_predictions(pc, normals, idxs, T_true, R_true,
+                                    bound, 1.0, cfg)
+    preds = np.asarray(preds).copy()
+    preds[:, -4] = -preds[:, -4]  # invert the right-aux logit (at-chance bit)
+
+    res = vote_pose(
+        jax.random.PRNGKey(2), pre.pc, pre.normals, jnp.array(idxs),
+        jnp.array(preds), pre.n_valid, jnp.array(pcfg.sphere_points()), pcfg,
+    )
+    up_true = R_true @ np.array([0, 1.0, 0])
+    assert abs(float(np.asarray(res.up) @ up_true)) > np.cos(np.deg2rad(6))
+    right_true = R_true @ np.array([1.0, 0, 0])
+    cos_right = float(np.asarray(res.right) @ right_true)
+    # SIGNED: the inverted aux bit alone would give cos_right < 0
+    assert cos_right > np.cos(np.deg2rad(10)), f"signed right cos {cos_right}"
