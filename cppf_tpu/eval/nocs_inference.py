@@ -68,7 +68,8 @@ class CategoryRunner:
         # everything that must match training — bins, symmetry, ranges).
         repo_cfg = load_config(cls_name)
         for k in ("asym_right_votes", "asym_center_refine", "subvoxel_refine",
-                  "geo_right_sign", "geo_right_dir"):
+                  "geo_right_sign", "geo_right_dir", "filter_coplanar",
+                  "sharp_axis_votes", "aux_align_weight"):
             setattr(self.cfg, k, getattr(repo_cfg, k))
         self.pcfg = PoseConfig.from_config(self.cfg, scale_multiplier=2.0)
         self.sphere = jnp.array(self.pcfg.sphere_points())

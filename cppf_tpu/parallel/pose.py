@@ -264,10 +264,10 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
     _, pair_mask = sharded_backvote(mesh, pc, preds_tr, point_idxs, corner,
                                     pcfg.res, grid_dims, T_est, 3.0 * pcfg.res,
                                     n_rots=pcfg.num_rots)
-    pair_mask = pair_mask & base_mask
+    # base_mask (coplanar filter) gates CENTER votes only — see pipeline.pose
     if pcfg.subvoxel_refine:
         T_est = sharded_center_refine(mesh, pc, preds_tr, point_idxs, T_est,
-                                      pair_mask, pcfg.res)
+                                      pair_mask & base_mask, pcfg.res)
 
     # ---- axes (sharded sphere histograms) ----------------------------------
     up = _vote_axis_sharded(mesh, rng_up, pc, pc_normal, point_idxs, pair_mask,
@@ -303,10 +303,10 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
         _, pair_mask = sharded_backvote(mesh, pc, preds_tr, point_idxs,
                                         corner, pcfg.res, grid_dims, T_est,
                                         3.0 * pcfg.res, n_rots=pcfg.num_rots)
-        pair_mask = pair_mask & base_mask
         if pcfg.subvoxel_refine:
             T_est = sharded_center_refine(mesh, pc, preds_tr, point_idxs,
-                                          T_est, pair_mask, pcfg.res)
+                                          T_est, pair_mask & base_mask,
+                                          pcfg.res)
 
     if pcfg.regress_right:
         right_w = None

@@ -83,7 +83,11 @@ class PoseConfig:
     # measured on SUN categories as meter-scale T errors even with a
     # GT-oracle network.  The reference's SUN driver does NOT filter
     # (sunrgbd/inference.py has no cell-6 analogue) and inherits the
-    # ambiguity; this is a capability improvement over it.
+    # ambiguity; this is a capability improvement over it.  The filter
+    # gates the CENTER votes only: same-plane pairs are the bulk of the
+    # angle-to-axis evidence on plane-dominated bodies (sofa A/B: filtering
+    # them from the axis votes cost up 17.9→28.8° while the center-only
+    # filter kept the T-lateral 158→96 mm win).
     filter_coplanar: bool = False
     # Weight each pair's cone votes on the axis sphere by the confidence
     # (max softmax prob) of its predicted angle distribution.  On
@@ -411,9 +415,15 @@ def vote_pose(
         pc, preds_tr, point_idxs, corner, pcfg.res, grid_dims, T_est,
         3.0 * pcfg.res, n_rots=pcfg.num_rots,
     )
-    pair_mask = pair_mask & base_mask
+    # base_mask (coplanar filter) gates the CENTER votes only: a same-plane
+    # pair's vote circle hits the mirrored center too (bias), but its
+    # angle-to-axis predictions are the bulk of the up evidence on plane-
+    # dominated bodies — filtering them from the axis votes measured
+    # up 17.9->28.8 deg on sofa while center-only filtering keeps the
+    # T-lateral win (158->96 mm).
     if pcfg.subvoxel_refine:
-        T_est = center_refine(pc, preds_tr, point_idxs, T_est, pair_mask,
+        T_est = center_refine(pc, preds_tr, point_idxs, T_est,
+                              pair_mask & base_mask,
                               pcfg.res)
 
     # --- orientation axes ----------------------------------------------------
@@ -458,9 +468,9 @@ def vote_pose(
             pc, preds_tr, point_idxs, corner, pcfg.res, grid_dims, T_est,
             3.0 * pcfg.res, n_rots=pcfg.num_rots,
         )
-        pair_mask = pair_mask & base_mask
         if pcfg.subvoxel_refine:
-            T_est = center_refine(pc, preds_tr, point_idxs, T_est, pair_mask,
+            T_est = center_refine(pc, preds_tr, point_idxs, T_est,
+                                  pair_mask & base_mask,
                                   pcfg.res)
 
     if pcfg.regress_right:

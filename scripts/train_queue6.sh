@@ -53,10 +53,14 @@ echo QUEUE6_NOCS_DONE
 
 run_item $T category=bookshelf max_epoch=200 out_dir=checkpoints/bookshelf
 # bathtub's r2 checkpoint was restored into the working tree as a fallback;
-# clear it only when this item actually starts (64-bin retrain can't warm
-# start from the 32-bin r2 head)
-fresh checkpoints/bathtub
-run_item $T category=bathtub   max_epoch=200 out_dir=checkpoints/bathtub
+# clear it only once the relay is actually up and the item is starting
+# (the 64-bin retrain can't warm start from the 32-bin r2 head) — a bare
+# `fresh` before run_item would delete the fallback even while parked
+bathtub_item () {
+  fresh checkpoints/bathtub
+  $T category=bathtub max_epoch=200 out_dir=checkpoints/bathtub
+}
+run_item bathtub_item
 fresh checkpoints/laptop
 run_item $T category=laptop max_epoch=200 up_rot_base=true out_dir=checkpoints/laptop
 echo QUEUE6_DONE
