@@ -101,6 +101,10 @@ class Config:
     # Protrusion→right mapping: "cross" (mug handle ⊥ right) or "direct"
     # (table drawer pedestal along +x); see PoseConfig.geo_right_dir.
     geo_right_dir: str = "cross"
+    # Multi-hypothesis axis decode (top-K sphere peaks re-scored by aux
+    # BCE); fixes wrong-plane-normal axis locks on plane-dominated bodies.
+    # 1 = reference argmax behaviour; see PoseConfig.axis_topk.
+    axis_topk: int = 1
 
     # Train-side: additionally scale the right-bit aux weight by the pair's
     # radial-asymmetry score (core/targets.py::radial_asymmetry) so only

@@ -42,6 +42,15 @@ def main(argv=None):
     parser.add_argument("--angle_prec", type=float, default=1.5)
     parser.add_argument("--num_rots", type=int, default=72)
     parser.add_argument("--adaptive_voting", action="store_true")
+    parser.add_argument("--up_prior_deg", type=float, default=30.0,
+                        help="gravity prior on the up axis (degrees; 0 "
+                             "disables).  The driver's working frame is "
+                             "world-gravity-aligned (+y): clouds are stored "
+                             "Rtilt-corrected and every SUN GT box is "
+                             "gravity-aligned by construction, so gating the "
+                             "up-axis sphere peak to ±30 deg of world-up only "
+                             "removes wrong-face-normal flips.  See "
+                             "PoseConfig.up_prior_deg.")
     parser.add_argument("--categories", nargs="*", default=None)
     parser.add_argument("--max_scans", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
@@ -73,7 +82,8 @@ def main(argv=None):
             log.warning("skipping %s: %s", typename, e)
             continue
         runner.pcfg = runner.pcfg.__class__(
-            **{**runner.pcfg.__dict__, "scale_multiplier": 1.0}
+            **{**runner.pcfg.__dict__, "scale_multiplier": 1.0,
+               "up_prior_deg": args.up_prior_deg}
         )
 
         names_file = os.path.join(

@@ -141,7 +141,7 @@ def sharded_sphere_histogram(mesh, pc, angles, sub_idxs, sphere_pts, cos_tol,
 
 def _vote_axis_sharded(mesh, rng, pc, pc_normal, point_idxs, pair_mask,
                        angle_logits, aux_logits, sphere_pts, pcfg,
-                       pair_weights=None):
+                       pair_weights=None, prior_gate=None):
     """Sharded twin of pipeline.pose._vote_axis (same rng draw order)."""
     rng_bin, rng_sub = jax.random.split(rng)
     p = point_idxs.shape[0]
@@ -160,22 +160,48 @@ def _vote_axis_sharded(mesh, rng, pc, pc_normal, point_idxs, pair_mask,
     cos_tol = jnp.cos(jnp.deg2rad(pcfg.angle_prec))
     counts = sharded_sphere_histogram(mesh, pc, angles_sub, point_idxs[sub],
                                       sphere_pts, cos_tol, n_rots=pcfg.num_rots)
-    best_dir = sphere_pts[jnp.argmax(counts)]
+    if prior_gate is not None:
+        counts = jnp.where(prior_gate, counts, -1.0)
 
+    # aux disambiguation + optional top-K re-scoring: identical replicated
+    # math to pipeline.pose._vote_axis (counts are already psum'd)
     ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
     ab_unit = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
     n_a = pc_normal[point_idxs[:, 0]]
     n_canon = n_a * jnp.where(jnp.sum(n_a * ab_unit, -1, keepdims=True) < 0, -1.0, 1.0)
-    align = jnp.sum(n_canon * best_dir, -1)
-    target = (align > 0).astype(pc.dtype)
-    aux_mask = pair_mask.astype(pc.dtype)
-    if pcfg.aux_align_weight:
-        aux_mask = aux_mask * jnp.abs(align)
+    base_aux_mask = pair_mask.astype(pc.dtype)
     if pair_weights is not None:
-        aux_mask = aux_mask * pair_weights
-    up_loss = _bce_logits(aux_logits, target, aux_mask)
-    down_loss = _bce_logits(aux_logits, 1.0 - target, aux_mask)
-    return jnp.where(down_loss < up_loss, -best_dir, best_dir)
+        base_aux_mask = base_aux_mask * pair_weights
+
+    def _signed_bce(cand):
+        align = jnp.sum(n_canon * cand, -1)
+        target = (align > 0).astype(pc.dtype)
+        aux_mask = base_aux_mask
+        if pcfg.aux_align_weight:
+            aux_mask = aux_mask * jnp.abs(align)
+        up_loss = _bce_logits(aux_logits, target, aux_mask)
+        down_loss = _bce_logits(aux_logits, 1.0 - target, aux_mask)
+        return jnp.where(down_loss < up_loss, -cand, cand), jnp.minimum(up_loss, down_loss)
+
+    if pcfg.axis_topk <= 1:
+        best_dir, _ = _signed_bce(sphere_pts[jnp.argmax(counts)])
+        return best_dir
+
+    cos_sup = jnp.cos(jnp.deg2rad(20.0))
+    cands, cand_counts = [], []
+    c = counts
+    for _ in range(pcfg.axis_topk):
+        i = jnp.argmax(c)
+        cands.append(sphere_pts[i])
+        cand_counts.append(counts[i])
+        near = jnp.abs(sphere_pts @ sphere_pts[i]) > cos_sup
+        c = jnp.where(near, -1.0, c)
+    cands = jnp.stack(cands)
+    cand_counts = jnp.stack(cand_counts)
+    signed, bce = jax.vmap(_signed_bce)(cands)
+    ok = cand_counts >= pcfg.axis_topk_min_frac * cand_counts[0]
+    bce = jnp.where(ok, bce, jnp.inf)
+    return signed[jnp.argmin(bce)]
 
 
 def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
@@ -270,8 +296,14 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
                                       pair_mask & base_mask, pcfg.res)
 
     # ---- axes (sharded sphere histograms) ----------------------------------
+    up_gate = None
+    if pcfg.up_prior_deg > 0:
+        prior_dir = jnp.asarray(pcfg.up_prior_dir, pc.dtype)
+        up_gate = jnp.abs(sphere_pts @ prior_dir) >= jnp.cos(
+            jnp.deg2rad(pcfg.up_prior_deg))
     up = _vote_axis_sharded(mesh, rng_up, pc, pc_normal, point_idxs, pair_mask,
-                            up_logits, up_aux, sphere_pts, pcfg)
+                            up_logits, up_aux, sphere_pts, pcfg,
+                            prior_gate=up_gate)
     from cppf_tpu.core.geometry import assemble_rotation, orthonormal_right
 
     # ---- second-pass asym-weighted center vote (mirrors pipeline.pose) -----

@@ -142,6 +142,35 @@ class PoseConfig:
     # right = ĥ × up), "direct" for protrusion canonically ALONG right
     # (table desk drawer pedestal at +x ⇒ right = ĥ).
     geo_right_dir: str = "cross"
+    # Multi-hypothesis axis decode: take the top-K sphere-histogram peaks
+    # (greedy 20° NMS so they are distinct directions, not neighbours of one
+    # peak), score each ± by the aux-bit BCE over the surviving pairs, and
+    # return the lowest-BCE hypothesis.  Plane-dominated bodies fail
+    # bimodally with K=1: locally-planar pairs default to "90° to axis", so
+    # views dominated by the WRONG plane lock the argmax onto that plane's
+    # normal (sofa up = back normal in 4/12 poses, exactly 90° off; laptop
+    # voting-only up 63.7° via lid/keyboard).  The aux logits were trained
+    # against the TRUE axis, so the wrong-plane hypothesis scores a
+    # distinctly worse BCE.  The reference takes the bare argmax
+    # (nocs/inference.py:284) and inherits the flips.  K=1 = reference.
+    axis_topk: int = 1
+    # A weaker peak must beat the main peak's BCE AND hold at least this
+    # fraction of its vote count to displace it (guards against low-count
+    # noise directions winning on a noisy BCE).
+    axis_topk_min_frac: float = 0.2
+    # Gravity prior on the UP axis: gate the sphere histogram to directions
+    # within this many degrees of ±up_prior_dir before the argmax (0 = off,
+    # the reference behaviour).  Intended for the SUN RGB-D driver, whose
+    # working frame is world-gravity-aligned (+y) because the reference's
+    # own data plumbing applies Rtilt before storing clouds
+    # (sunrgbd/inference.py:95-99) and every SUN GT box is gravity-aligned
+    # by construction (eval.py:85-107 builds them from a heading angle
+    # about world-up only).  The reference loads that metadata and then
+    # ignores it at voting time — on plane-dominated furniture the
+    # unconstrained argmax locks onto a wrong face normal (sofa: 4/12 views
+    # exactly 90° off).  The sign still comes from the aux bit.
+    up_prior_deg: float = 0.0
+    up_prior_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0)
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -171,6 +200,7 @@ class PoseConfig:
             subvoxel_refine=cfg.subvoxel_refine,
             geo_right_sign=cfg.geo_right_sign,
             geo_right_dir=cfg.geo_right_dir,
+            axis_topk=cfg.axis_topk,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -223,6 +253,7 @@ def _vote_axis(
     sphere_pts: jnp.ndarray,
     pcfg: PoseConfig,
     pair_weights: jnp.ndarray | None = None,
+    prior_gate: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One orientation axis: rot-vote → sphere binning → aux sign flip
     (reference nocs/inference.py:258-303).
@@ -230,6 +261,10 @@ def _vote_axis(
     ``pair_weights`` ([P], optional): importance of each pair for THIS axis —
     biases the cone-vote subsample distribution and weights the aux-bit
     disambiguation (see PoseConfig.asym_right_votes).
+
+    ``prior_gate`` ([n_sphere] bool, optional): sphere directions eligible
+    for the peak (see PoseConfig.up_prior_deg); gated-out directions keep
+    their votes for nothing — they can never win the argmax.
     """
     rng_bin, rng_sub = jax.random.split(rng)
     # subsample `rot_subsample` surviving pairs (reference nocs/inference.py:277-279);
@@ -269,23 +304,48 @@ def _vote_axis(
         counts = rot_vote_sphere_count(pc, angles_sub, sub_idxs, sphere_pts,
                                        cos_tol, n_rots=pcfg.num_rots,
                                        weights=vote_w)
-    best_dir = sphere_pts[jnp.argmax(counts)]
-
+    if prior_gate is not None:
+        counts = jnp.where(prior_gate, counts, -1.0)
     # aux disambiguation over *all* surviving pairs (reference :286-302)
     ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
     ab_unit = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
     n_a = pc_normal[point_idxs[:, 0]]
     n_canon = n_a * jnp.where(jnp.sum(n_a * ab_unit, -1, keepdims=True) < 0, -1.0, 1.0)
-    align = jnp.sum(n_canon * best_dir, -1)
-    target = (align > 0).astype(pc.dtype)
-    aux_mask = pair_mask.astype(pc.dtype)
-    if pcfg.aux_align_weight:
-        aux_mask = aux_mask * jnp.abs(align)
+    base_aux_mask = pair_mask.astype(pc.dtype)
     if pair_weights is not None:
-        aux_mask = aux_mask * pair_weights
-    up_loss = _bce_logits(aux_logits, target, aux_mask)
-    down_loss = _bce_logits(aux_logits, 1.0 - target, aux_mask)
-    return jnp.where(down_loss < up_loss, -best_dir, best_dir)
+        base_aux_mask = base_aux_mask * pair_weights
+
+    def _signed_bce(cand):
+        align = jnp.sum(n_canon * cand, -1)
+        target = (align > 0).astype(pc.dtype)
+        aux_mask = base_aux_mask
+        if pcfg.aux_align_weight:
+            aux_mask = aux_mask * jnp.abs(align)
+        up_loss = _bce_logits(aux_logits, target, aux_mask)
+        down_loss = _bce_logits(aux_logits, 1.0 - target, aux_mask)
+        return jnp.where(down_loss < up_loss, -cand, cand), jnp.minimum(up_loss, down_loss)
+
+    if pcfg.axis_topk <= 1:
+        best_dir, _ = _signed_bce(sphere_pts[jnp.argmax(counts)])
+        return best_dir
+
+    # top-K distinct peaks (greedy 20° NMS over BOTH hemispheres — the aux
+    # flip owns the sign) re-scored by aux BCE; see PoseConfig.axis_topk
+    cos_sup = jnp.cos(jnp.deg2rad(20.0))
+    cands, cand_counts = [], []
+    c = counts
+    for _ in range(pcfg.axis_topk):
+        i = jnp.argmax(c)
+        cands.append(sphere_pts[i])
+        cand_counts.append(counts[i])
+        near = jnp.abs(sphere_pts @ sphere_pts[i]) > cos_sup
+        c = jnp.where(near, -1.0, c)
+    cands = jnp.stack(cands)                       # [K, 3]
+    cand_counts = jnp.stack(cand_counts)           # [K]
+    signed, bce = jax.vmap(_signed_bce)(cands)     # [K,3], [K]
+    ok = cand_counts >= pcfg.axis_topk_min_frac * cand_counts[0]
+    bce = jnp.where(ok, bce, jnp.inf)
+    return signed[jnp.argmin(bce)]
 
 
 def pair_predictions(
@@ -427,8 +487,14 @@ def vote_pose(
                               pcfg.res)
 
     # --- orientation axes ----------------------------------------------------
+    up_gate = None
+    if pcfg.up_prior_deg > 0:
+        prior_dir = jnp.asarray(pcfg.up_prior_dir, pc.dtype)
+        up_gate = jnp.abs(sphere_pts @ prior_dir) >= jnp.cos(
+            jnp.deg2rad(pcfg.up_prior_deg))
     up = _vote_axis(
-        rng_up, pc, pc_normal, point_idxs, pair_mask, up_logits, up_aux, sphere_pts, pcfg
+        rng_up, pc, pc_normal, point_idxs, pair_mask, up_logits, up_aux,
+        sphere_pts, pcfg, prior_gate=up_gate,
     )
 
     # --- second-pass asym-weighted center vote (PoseConfig.asym_center_refine)

@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--oracle", action="store_true",
                     help="write GT as predictions (protocol exactness check)")
+    ap.add_argument("--up_prior_deg", type=float, default=30.0,
+                    help="forwarded to the driver (0 disables the gravity "
+                         "prior; the synthetic scenes share the real "
+                         "pipeline's gravity-aligned working frame)")
     args = ap.parse_args()
 
     from cppf_tpu.eval import sunrgbd_eval, sunrgbd_inference
@@ -84,6 +88,7 @@ def main():
             "--sunrgbd_dir", sunrgbd_dir, "--sunrgbd_extra_dir", extra_dir,
             "--out_dir", pred_dir, "--ckpt_path", args.ckpt_path,
             "--categories", args.category, "--seed", str(args.seed),
+            "--up_prior_deg", str(args.up_prior_deg),
         ])
     all_aps = sunrgbd_eval.main([
         "--pred_dir", pred_dir, "--sunrgbd_dir", sunrgbd_dir,

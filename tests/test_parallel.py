@@ -66,7 +66,9 @@ def test_sharded_estimate_pose_matches_single(rng, center_mode):
     pcfg = PoseConfig(**{**pcfg.__dict__, "rot_subsample": 512, "num_rots": 16,
                          "knn": 16, "center_mode": center_mode,
                          "grid_shape": (48, 48, 48),
-                         "subvoxel_refine": True})
+                         "subvoxel_refine": True,
+                         "filter_coplanar": True, "axis_topk": 3,
+                         "up_prior_deg": 60.0})
 
     pc_cam = sample_surface(PRIMITIVES["mug"](), 1500, rng).astype(np.float32) \
         + np.float32([0.05, -0.02, 0.6])

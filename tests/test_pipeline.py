@@ -336,3 +336,67 @@ def test_geo_right_sign_direct_fixes_flipped_aux(rng):
     cos_right = float(np.asarray(res.right) @ right_true)
     # SIGNED: the inverted aux bit alone would give cos_right < 0
     assert cos_right > np.cos(np.deg2rad(10)), f"signed right cos {cos_right}"
+
+
+def test_up_prior_gates_sphere_peak(rng):
+    """SUN gravity prior (PoseConfig.up_prior_deg): a window containing the
+    true up is a no-op (the global peak survives the gate); a window that
+    excludes it forces the peak inside the window — proving the gate acts on
+    the argmax rather than re-weighting votes."""
+    cfg = load_config("bowl")
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, "bowl")
+    up_true = R_true @ np.array([0, 1.0, 0])  # ~29 deg off +y
+    lo, hi = mesh_bounds(mesh)
+    bound = (hi - lo).copy()
+    bound[[0, 2]] = bound[[2, 0]]
+    pad = np.zeros((4096, 3), np.float32)
+    pad[:4000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 4000, cfg.res,
+                           npoint_pad=2048, knn=cfg.knn, jitter=False)
+    n = int(pre.n_valid)
+    idxs = rng.integers(0, n, size=(10000, 2)).astype(np.int32)
+    preds = oracle_pair_predictions(np.asarray(pre.pc), np.asarray(pre.normals),
+                                    idxs, T_true, R_true, bound, 1.0, cfg)
+    ups = {}
+    for deg in (0.0, 45.0, 10.0):
+        pcfg = PoseConfig.from_config(cfg, n_pairs=10000)
+        pcfg = PoseConfig(**{**pcfg.__dict__, "up_prior_deg": deg})
+        res = vote_pose(jax.random.PRNGKey(2), pre.pc, pre.normals,
+                        jnp.array(idxs), jnp.array(preds), pre.n_valid,
+                        jnp.array(pcfg.sphere_points()), pcfg)
+        ups[deg] = np.asarray(res.up)
+    # wide window keeps the oracle answer
+    np.testing.assert_allclose(ups[0.0], ups[45.0], atol=1e-6)
+    assert abs(float(ups[0.0] @ up_true)) > np.cos(np.deg2rad(5))
+    # tight window excludes the true up (~29 deg off +y) → peak forced inside
+    assert abs(float(ups[10.0][1])) > np.cos(np.deg2rad(11))
+
+
+def test_axis_topk_oracle_equivalent(rng):
+    """axis_topk re-scoring must not change the answer when the argmax peak
+    is the true axis (oracle predictions): the aux BCE of the true axis
+    beats every NMS runner-up, so K=4 returns the K=1 result."""
+    cfg = load_config("bowl")
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, "bowl")
+    lo, hi = mesh_bounds(mesh)
+    bound = (hi - lo).copy()
+    bound[[0, 2]] = bound[[2, 0]]
+    pad = np.zeros((4096, 3), np.float32)
+    pad[:4000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 4000, cfg.res,
+                           npoint_pad=2048, knn=cfg.knn, jitter=False)
+    n = int(pre.n_valid)
+    idxs = rng.integers(0, n, size=(10000, 2)).astype(np.int32)
+    preds = oracle_pair_predictions(np.asarray(pre.pc), np.asarray(pre.normals),
+                                    idxs, T_true, R_true, bound, 1.0, cfg)
+    outs = []
+    for k in (1, 4):
+        pcfg = PoseConfig.from_config(cfg, n_pairs=10000)
+        pcfg = PoseConfig(**{**pcfg.__dict__, "axis_topk": k})
+        res = vote_pose(jax.random.PRNGKey(2), pre.pc, pre.normals,
+                        jnp.array(idxs), jnp.array(preds), pre.n_valid,
+                        jnp.array(pcfg.sphere_points()), pcfg)
+        outs.append(np.asarray(res.up))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+    up_true = R_true @ np.array([0, 1.0, 0])
+    assert abs(float(outs[1] @ up_true)) > np.cos(np.deg2rad(5))
