@@ -9,10 +9,19 @@ vectorised host-NumPy implementation of the identical per-instance workload
 (network forward + center vote + backvote + axis vote + sphere binning) run
 in this same process — a transparent, reproducible stand-in recorded under
 ``baseline_*`` keys.
+
+Outage behaviour: this script NEVER exits with a traceback and no JSON.  If
+the axon TPU relay is down it waits up to ``BENCH_RELAY_WAIT_S`` (default
+300 s), then falls back to a clearly-labeled CPU run with
+``"error": "tpu_unavailable"`` in the JSON; if even that fails the final
+line is a minimal JSON error record (round-3 lesson: one relay outage
+zeroed the round's perf artifact).
 """
 from __future__ import annotations
 
 import json
+import os
+import socket
 import sys
 import time
 
@@ -21,6 +30,39 @@ import numpy as np
 
 def _log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _relay_up(host="127.0.0.1", port=8082, timeout=3.0):
+    try:
+        with socket.create_connection((host, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def _acquire_device():
+    """Return (jax, device, error_tag).  Waits for the axon relay, falls back
+    to CPU (labeled) if it never comes up — never raises."""
+    wait_s = float(os.environ.get("BENCH_RELAY_WAIT_S", "300"))
+    platform = os.environ.get("JAX_PLATFORMS", "")
+    err = None
+    if platform == "axon":
+        deadline = time.time() + wait_s
+        while not _relay_up():
+            if time.time() >= deadline:
+                err = "tpu_unavailable"
+                break
+            _log(f"axon relay down; retrying ({deadline - time.time():.0f}s left)")
+            time.sleep(15)
+    import jax
+    if err is None:
+        try:
+            return jax, jax.devices()[0], None
+        except RuntimeError as e:  # relay answered TCP but backend init failed
+            _log(f"backend init failed: {e}")
+            err = "tpu_unavailable"
+    jax.config.update("jax_platforms", "cpu")
+    return jax, jax.devices("cpu")[0], err
 
 
 # ---------------------------------------------------------------------------
@@ -160,8 +202,7 @@ def _np_vote_pipeline(pc, normals, preds, idxs, cfg, sphere, rng):
     return T_est, best
 
 
-def main():
-    import jax
+def run_bench(jax, dev, on_cpu: bool):
     import jax.numpy as jnp
 
     from cppf_tpu.utils.cache import enable_compilation_cache
@@ -173,7 +214,6 @@ def main():
     from cppf_tpu.pipeline.pose import PoseConfig, estimate_pose, make_models
     from cppf_tpu.pipeline.preprocess import preprocess_cloud
 
-    dev = jax.devices()[0]
     _log(f"device: {dev}")
     cfg = load_config("bottle")
     rng = np.random.default_rng(0)
@@ -212,7 +252,7 @@ def main():
                              pre.normals, pre.n_valid, sphere, mode_cfg,
                              nbr_idx=pre.nbr_idx)
 
-    def measure(mode_cfg, tag, iters=20):
+    def measure(mode_cfg, tag, iters=20 if not on_cpu else 3):
         t0 = time.time()
         jax.block_until_ready(dispatch(0, mode_cfg).T)
         _log(f"{tag} compile+first run: {time.time() - t0:.1f}s")
@@ -240,6 +280,40 @@ def main():
     dt_parity, lat_parity = measure(pcfg, "parity (trilinear splat)")
     ours_pps = N_PAIRS / dt
 
+    # --- batched production mode (estimate_pose_batch at B=4, the regime the
+    # NOCS/SUN drivers run — one jitted program per frame's crops) ----------
+    batched_ms = None
+    if not on_cpu:  # B=4 full-pipeline compile is minutes on CPU; skip there
+        try:
+            from cppf_tpu.pipeline.pose import estimate_pose_batch
+            from cppf_tpu.pipeline.preprocess import preprocess_cloud_batch
+
+            B = 4
+            pads_b = jnp.broadcast_to(jnp.array(pad), (B, *pad.shape))
+            keys = jax.random.split(jax.random.PRNGKey(3), 2 * B)
+            pre_b = preprocess_cloud_batch(
+                keys[:B], pads_b, jnp.full((B,), 8000, jnp.int32), cfg.res,
+                npoint_pad=4096, knn=cfg.knn)
+
+            def dispatch_b(i):
+                ks = jax.random.split(jax.random.PRNGKey(200 + i), B)
+                return estimate_pose_batch(ks, p_pt, p_pf, pre_b.pc,
+                                           pre_b.normals, pre_b.n_valid,
+                                           sphere, fast_cfg,
+                                           nbr_idxs=pre_b.nbr_idx)
+
+            t0 = time.time()
+            jax.block_until_ready(dispatch_b(0).T)
+            _log(f"batched B={B} compile+first run: {time.time() - t0:.1f}s")
+            iters = 8
+            t0 = time.time()
+            outs = [dispatch_b(i) for i in range(1, iters + 1)]
+            jax.block_until_ready(outs[-1].T)
+            batched_ms = (time.time() - t0) / (iters * B) * 1000
+            _log(f"batched: {batched_ms:.2f} ms/pose at B={B}")
+        except Exception as e:  # pragma: no cover - keep the artifact alive
+            _log(f"batched measurement failed (non-fatal): {e}")
+
     # --- baseline: vectorised NumPy on host ---------------------------------
     BASE_PAIRS = 20000
     pc_np = np.asarray(pre.pc)[:n]
@@ -256,13 +330,14 @@ def main():
     base_pps = BASE_PAIRS / base_dt
     _log(f"numpy host baseline: {base_dt * 1000:.1f} ms @ {BASE_PAIRS} pairs, {base_pps:,.0f} pairs/s")
 
-    print(json.dumps({
+    return {
         "metric": "point-pairs/sec, full 9D pose pipeline (network+voting)",
         "value": round(ours_pps, 1),
         "unit": "pairs/s",
         "vs_baseline": round(ours_pps / base_pps, 2),
         "ms_per_pose": round(dt * 1000, 2),
         "ms_per_pose_reference_exact_splat": round(dt_parity * 1000, 2),
+        "batched_ms_per_pose": None if batched_ms is None else round(batched_ms, 2),
         "single_call_latency_ms": round(lat_fast * 1000, 2),
         "single_call_latency_ms_exact_splat": round(lat_parity * 1000, 2),
         "splat_equiv_adds_per_s": round(N_PAIRS * pcfg.num_rots * 8 / dt_parity, 1),
@@ -271,7 +346,34 @@ def main():
         "baseline": "vectorized host-NumPy of the same workload (reference CuPy path not runnable here; reference publishes no numbers)",
         "baseline_pairs_per_s": round(base_pps, 1),
         "device": str(dev),
-    }))
+    }
+
+
+def main():
+    record = {
+        "metric": "point-pairs/sec, full 9D pose pipeline (network+voting)",
+        "value": 0.0,
+        "unit": "pairs/s",
+        "vs_baseline": 0.0,
+        "device": None,
+        "error": None,
+    }
+    try:
+        jax, dev, err = _acquire_device()
+        on_cpu = dev.platform == "cpu"
+        record.update(run_bench(jax, dev, on_cpu))
+        record["error"] = err
+        if err:
+            record["device"] = f"{dev} (CPU fallback — TPU relay unavailable)"
+    except Exception as e:  # pragma: no cover - the artifact must survive
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        record["error"] = record["error"] or f"{type(e).__name__}: {e}"
+    print(json.dumps(record))
+    # Non-zero exit only when NO measurement happened at all; a labeled CPU
+    # fallback is a valid (if degraded) record.
+    sys.exit(0 if record["value"] else 1)
 
 
 if __name__ == "__main__":

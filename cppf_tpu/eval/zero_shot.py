@@ -225,24 +225,37 @@ class HeatmapState(NamedTuple):
 def _sparse_frame_grid(pc, preds_tr, point_idxs, corner, dims, res,
                        num_rots: int, n_cands: int = 24,
                        window: int = 48, coarse_pool: int = 8,
-                       pair_budget: int = 1 << 17) -> np.ndarray:
+                       pair_budget: int = 1 << 17,
+                       keep_mass: float = 50.0,
+                       halo: int = 13) -> np.ndarray:
     """Whole-frame heatmap without the XLA scatter (~0.1 G adds/s wall).
 
     Two fused-Pallas passes (cppf_tpu.ops.pallas.vote_hist.dense_hist):
 
     1. a ``coarse_pool``³-pooled grid of the whole frame (pooled (y,z) plane
        small enough to live in VMEM) ranks candidate regions — a coarse
-       cell's value upper-bounds every fine voxel inside it, so the top
-       cells are a superset of any sharp peak;
+       cell's value upper-bounds every fine voxel inside it (SUM over the
+       cell ≥ max inside it), so a cell whose coarse mass is below the
+       proposal threshold can never host a proposal;
     2. per candidate, an exact fine ``window``³ sub-grid over only the pairs
        whose vote circle can reach the window (host prefilter on the circle
        center/radius).
 
-    The returned dense array is exact inside every candidate window
-    (including the smoothing halo the proposal extractor reads) and zero
-    elsewhere; peaks outside the top-``n_cands`` regions are below every
-    candidate's coarse mass by construction.  Proposal-level equality with
-    the scatter path is pinned in tests/test_zero_shot.py.
+    Candidate acceptance: the top ``n_cands`` cells PLUS every further cell
+    with coarse mass ≥ ``keep_mass`` (default = extract_proposals_host's
+    default ``thresh``), hard-capped at ``4 * n_cands`` with a loud log of
+    what was dropped (no-silent-caps convention) — a sharp low-total-mass
+    peak therefore cannot be crowded out by diffuse high-mass regions unless
+    the scene has >4·n_cands above-threshold cells.
+
+    Only the cell-centered core of each window — the coarse cell dilated by
+    ``halo`` (= proposal margin 10 + 3σ of the gaussian smoothing) — is
+    written to the output: core voxels and their entire contrast
+    neighbourhood are exact, so no peak can score against the zeroed
+    background (a full-window write let ring peaks from non-candidate
+    neighbour cells read zeros just outside the border and inflate their
+    boundary contrast).  Proposal-level equality with the scatter path is
+    pinned in tests/test_zero_shot.py.
     """
     import jax.numpy as jnp
 
@@ -257,7 +270,18 @@ def _sparse_frame_grid(pc, preds_tr, point_idxs, corner, dims, res,
         gshape_c, n_rots=num_rots, adaptive=True, splat="trilinear",
         pool=(coarse_pool,) * 3))
 
-    flat = np.argsort(coarse.reshape(-1))[::-1][:n_cands]
+    order = np.argsort(coarse.reshape(-1))[::-1]
+    masses = coarse.reshape(-1)[order]
+    n_above = int(np.sum(masses >= keep_mass))
+    hard_cap = 4 * n_cands
+    n_keep = min(max(n_cands, n_above), hard_cap)
+    if n_above > hard_cap:
+        log.warning(
+            "sparse grid candidate cap: %d cells above keep_mass=%.0f but "
+            "keeping only %d (boundary coarse mass %.1f) — peaks in the "
+            "dropped cells are NOT scored", n_above, keep_mass, hard_cap,
+            float(masses[hard_cap - 1]))
+    flat = order[:n_keep]
     cands = np.stack(np.unravel_index(flat, coarse.shape), -1)
     cands = cands[coarse.reshape(-1)[flat] > 0]
 
@@ -300,11 +324,18 @@ def _sparse_frame_grid(pc, preds_tr, point_idxs, corner, dims, res,
             jnp.asarray(np.minimum(np.asarray(dims) - wo, window), np.int32),
             wshape, n_rots=num_rots, adaptive=True, splat="trilinear",
             pair_mask=jnp.asarray(msk)))
-        sl = tuple(slice(int(o), int(min(o + window, dim)))
-                   for o, dim in zip(wo, dims))
-        out[sl] = win[: sl[0].stop - sl[0].start,
-                      : sl[1].stop - sl[1].start,
-                      : sl[2].stop - sl[2].start]
+        # write only the exact-halo core: the coarse cell (+1 voxel of
+        # trilinear spill) dilated by `halo`, clipped to window ∩ grid —
+        # see the docstring's boundary-contrast argument
+        cell_lo = cell * coarse_pool - 1 - halo
+        cell_hi = (cell + 1) * coarse_pool + 1 + halo
+        lo = np.maximum(np.maximum(cell_lo, wo), 0)
+        hi = np.minimum(np.minimum(cell_hi, wo + window), np.asarray(dims))
+        if np.any(lo >= hi):
+            continue
+        sl = tuple(slice(int(l), int(h)) for l, h in zip(lo, hi))
+        wl = tuple(slice(int(l - o), int(h - o)) for l, h, o in zip(lo, hi, wo))
+        out[sl] = win[wl]
     return out
 
 

@@ -119,24 +119,31 @@ def sharded_center_refine(mesh, pc, preds_tr, point_idxs, T_init, pair_mask,
 
 
 def sharded_sphere_histogram(mesh, pc, angles, sub_idxs, sphere_pts, cos_tol,
-                             n_rots=72):
+                             n_rots=72, weights=None):
     """rot-vote expansion + sphere binning with the candidate-pair axis
-    sharded; the per-direction counts are additive → one psum."""
+    sharded; the per-direction counts are additive → one psum.
+
+    ``weights`` ([n_sub], optional): per-pair vote weights (e.g. the
+    sharp_axis_votes confidence), multiplied into the padding mask — same
+    semantics as the single-device ``rot_vote_sphere_count(weights=...)``.
+    """
     from cppf_tpu.ops.voting import rot_vote, sphere_bin_count
 
-    p, (idxs_p, ang_p) = _pad_pairs(mesh, sub_idxs, angles)
+    w_in = jnp.ones(angles.shape[0], jnp.float32) if weights is None else weights
+    p, (idxs_p, ang_p, w_p) = _pad_pairs(mesh, sub_idxs, angles, w_in)
     pad_mask = jnp.arange(idxs_p.shape[0]) < p
 
     @partial(shard_map, mesh=mesh, check_vma=False,
-             in_specs=(P(), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS), P()),
+             in_specs=(P(), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS),
+                       P(PAIR_AXIS), P()),
              out_specs=P())
-    def _hist(pc_, ang_, idxs_, mask_, sph_):
+    def _hist(pc_, ang_, idxs_, mask_, w_, sph_):
         cands = rot_vote(pc_, ang_, idxs_, n_rots=n_rots)
-        w = jnp.repeat(mask_.astype(jnp.float32), n_rots)
+        w = jnp.repeat(mask_.astype(jnp.float32) * w_, n_rots)
         local = sphere_bin_count(cands.reshape(-1, 3), sph_, cos_tol, weights=w)
         return jax.lax.psum(local, PAIR_AXIS)
 
-    return _hist(pc, ang_p, idxs_p, pad_mask, sphere_pts)
+    return _hist(pc, ang_p, idxs_p, pad_mask, w_p, sphere_pts)
 
 
 def _vote_axis_sharded(mesh, rng, pc, pc_normal, point_idxs, pair_mask,
@@ -158,8 +165,16 @@ def _vote_axis_sharded(mesh, rng, pc, pc_normal, point_idxs, pair_mask,
     angles_sub = bin_idx.astype(pc.dtype) / (pcfg.rot_num_bins - 1) * jnp.pi
 
     cos_tol = jnp.cos(jnp.deg2rad(pcfg.angle_prec))
+    vote_w = None
+    if pcfg.sharp_axis_votes:
+        # same confidence rescaling as pipeline.pose._vote_axis
+        probs = jax.nn.softmax(angle_logits[sub], axis=-1)
+        uniform = 1.0 / angle_logits.shape[-1]
+        vote_w = jnp.clip((jnp.max(probs, -1) - uniform) / (1.0 - uniform),
+                          0.0, 1.0)
     counts = sharded_sphere_histogram(mesh, pc, angles_sub, point_idxs[sub],
-                                      sphere_pts, cos_tol, n_rots=pcfg.num_rots)
+                                      sphere_pts, cos_tol, n_rots=pcfg.num_rots,
+                                      weights=vote_w)
     if prior_gate is not None:
         counts = jnp.where(prior_gate, counts, -1.0)
 
@@ -359,7 +374,9 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
             from cppf_tpu.pipeline.pose import _protrusion_centroid
 
             h_dir, gate = _protrusion_centroid(pc, T_est, up, n_valid, asym)
-            flip = gate & (jnp.dot(right, jnp.cross(h_dir, up)) < 0)
+            ref_dir = (h_dir if pcfg.geo_right_dir == "direct"
+                       else jnp.cross(h_dir, up))
+            flip = gate & (jnp.dot(right, ref_dir) < 0)
             right = jnp.where(flip, -right, right)
         right = orthonormal_right(up, right)
     else:

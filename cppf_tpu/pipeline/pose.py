@@ -31,7 +31,6 @@ from cppf_tpu.ops.voting import (
     grid_argmax,
     ppf_vote,
     ppf_vote_peak,
-    rot_vote,
     rot_vote_sphere_count,
     sphere_bin_count,
 )
@@ -69,8 +68,6 @@ class PoseConfig:
     # argmax in production while bounding tail latency when votes are
     # diffuse (undertrained network — where the argmax is noise anyway)
     peak_rounds: int = 2
-    # use the fused Pallas sphere-binning kernel instead of the chunked XLA one
-    pallas_sphere: bool = False
     # scale assembly multiplier: 2 for NOCS (reference nocs/inference.py:335),
     # 1 for SUN RGB-D (reference sunrgbd/inference.py:281)
     scale_multiplier: float = 2.0
@@ -293,17 +290,11 @@ def _vote_axis(
         probs = jax.nn.softmax(angle_logits[sub], axis=-1)
         uniform = 1.0 / angle_logits.shape[-1]
         vote_w = jnp.clip((jnp.max(probs, -1) - uniform) / (1.0 - uniform), 0.0, 1.0)
-    if pcfg.pallas_sphere and vote_w is None:
-        from cppf_tpu.ops.pallas.sphere_count import sphere_bin_count_pallas
-
-        cands = rot_vote(pc, angles_sub, sub_idxs, n_rots=pcfg.num_rots)
-        counts = sphere_bin_count_pallas(cands.reshape(-1, 3), sphere_pts, cos_tol)
-    else:
-        # fused: candidate axes stay componentwise, the [P, R, 3] tensor
-        # (tile-padded ~42x) never reaches HBM
-        counts = rot_vote_sphere_count(pc, angles_sub, sub_idxs, sphere_pts,
-                                       cos_tol, n_rots=pcfg.num_rots,
-                                       weights=vote_w)
+    # fused: candidate axes stay componentwise, the [P, R, 3] tensor
+    # (tile-padded ~42x) never reaches HBM
+    counts = rot_vote_sphere_count(pc, angles_sub, sub_idxs, sphere_pts,
+                                   cos_tol, n_rots=pcfg.num_rots,
+                                   weights=vote_w)
     if prior_gate is not None:
         counts = jnp.where(prior_gate, counts, -1.0)
     # aux disambiguation over *all* surviving pairs (reference :286-302)

@@ -3,7 +3,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from cppf_tpu.core.geometry import fibonacci_sphere
-from cppf_tpu.ops.pallas.sphere_count import sphere_bin_count_pallas
 from cppf_tpu.ops.voting import sphere_bin_count
 
 
@@ -68,18 +67,6 @@ def test_vote_hist_kernels_match_dense_oracle(rng):
     win = refine_window(o, *args, w8=16, splat="trilinear", chunk=256, interpret=True)
     np.testing.assert_allclose(np.asarray(win).reshape(16, 16, 16),
                                grid[16:32, 32:48, 0:16], atol=1e-4)
-
-
-def test_sphere_count_pallas_matches_xla(rng):
-    cands = rng.normal(size=(5000, 3)).astype(np.float32)
-    cands /= np.linalg.norm(cands, axis=-1, keepdims=True)
-    cands[4096:] = 0.0  # padding-style zero rows never count
-    sphere = fibonacci_sphere(479).astype(np.float32)
-    tol = np.cos(np.deg2rad(5.0))
-    ref = np.asarray(sphere_bin_count(jnp.asarray(cands), jnp.asarray(sphere), tol, chunk=1024))
-    got = np.asarray(sphere_bin_count_pallas(
-        jnp.asarray(cands), jnp.asarray(sphere), tol, block=1024, interpret=True))
-    np.testing.assert_array_equal(got, ref)
 
 
 def test_dense_hist_matches_xla_grid(rng):

@@ -63,12 +63,17 @@ def test_sharded_estimate_pose_matches_single(rng, center_mode):
 
     cfg = load_config("mug")  # regress_right exercises both axis votes
     pcfg = PoseConfig.from_config(cfg, n_pairs=2048)
+    # geo_right_sign + geo_right_dir="direct" and sharp_axis_votes are the
+    # capability flags the sharded twin historically diverged on (round-3
+    # advisor findings) — pin them here so single vs sharded stay in lockstep
     pcfg = PoseConfig(**{**pcfg.__dict__, "rot_subsample": 512, "num_rots": 16,
                          "knn": 16, "center_mode": center_mode,
                          "grid_shape": (48, 48, 48),
                          "subvoxel_refine": True,
                          "filter_coplanar": True, "axis_topk": 3,
-                         "up_prior_deg": 60.0})
+                         "up_prior_deg": 60.0,
+                         "geo_right_sign": True, "geo_right_dir": "direct",
+                         "sharp_axis_votes": True})
 
     pc_cam = sample_surface(PRIMITIVES["mug"](), 1500, rng).astype(np.float32) \
         + np.float32([0.05, -0.02, 0.6])
