@@ -147,6 +147,13 @@ class Config:
     # zero-shot notebook's cell-6 filter; fixes the mirror-peak T failure
     # on plane-dominated SUN views — see pipeline.pose.PoseConfig)
     filter_coplanar: bool = False
+    # instead of dropping coplanar pairs, keep them but gate each pair's
+    # vote circle to the object-interior half-space behind the observed
+    # surface (camera-oriented normal) — redirects the mirror-peak vote
+    # mass onto the true center instead of starving it; see
+    # pipeline.pose.PoseConfig.coplanar_halfspace.  Takes precedence over
+    # filter_coplanar when both are set.
+    coplanar_halfspace: bool = False
 
     def resolved_grid_edge(self) -> int:
         if self.grid_edge:

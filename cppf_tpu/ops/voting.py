@@ -65,7 +65,7 @@ def _adaptive_rots(odist, res, n_rots: int, adaptive: bool):
 
 
 def _vote_coords(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
-                 n_rots, adaptive, pair_mask):
+                 n_rots, adaptive, pair_mask, halfspace=None):
     """Shared candidate math: componentwise voxel coordinates per vote.
 
     Everything is computed **componentwise** as [P, R] arrays — never
@@ -73,10 +73,18 @@ def _vote_coords(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shap
     padded to the 128-lane TPU tile (a 40-60x memory blowup that dominated
     the original formulation).
 
+    ``halfspace`` (optional) = ``(a_ref [P,3], n_ref [P,3], gate [P] bool,
+    margin scalar)``: for pairs with ``gate`` set, zero every candidate with
+    ``(cand − a_ref)·n_ref > margin`` — i.e. keep only the half of the vote
+    circle behind the observed surface (the object-interior side).  This is
+    how coplanar-ambiguous pairs vote without feeding the mirrored center
+    (see PoseConfig.coplanar_halfspace); per-pair [P,3] inputs are fine, it
+    is the per-vote [P,R,3] that is poison.
+
     Returns (f, r, w): ``f`` three int32 [P, R] floor coordinates clipped to
     ``[0, cap-2]``; ``r`` three f32 [P, R] fractional parts; ``w`` [P, R]
     vote weights with all validity masking (degenerate pair, adaptive rot
-    count, runtime grid extent) folded in as zeros.
+    count, runtime grid extent, half-space gate) folded in as zeros.
     """
     a, ab_unit, degenerate, co_unit = pair_frames(pc, point_idxs)
     proj_len, odist = preds_tr[:, 0], preds_tr[:, 1]
@@ -92,6 +100,15 @@ def _vote_coords(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shap
 
     w = jnp.maximum(probs[point_idxs[:, 0]], probs[point_idxs[:, 1]])
     valid = rot_valid & (~degenerate)[:, None] & pair_mask[:, None]
+
+    if halfspace is not None:
+        a_ref, n_ref, hs_gate, hs_margin = halfspace
+        # (cand − a_ref)·n_ref, accumulated componentwise as [P, R]
+        hdot = jnp.zeros_like(cos_a)
+        for k in range(3):
+            ck = c[:, k, None] + cos_a * x[:, k, None] + sin_a * y[:, k, None]
+            hdot = hdot + (ck - a_ref[:, k, None]) * n_ref[:, k, None]
+        valid = valid & (~hs_gate[:, None] | (hdot <= hs_margin))
 
     fcomp = []
     rcomp = []
@@ -112,7 +129,8 @@ def _vote_coords(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shap
 
 
 def _vote_ids_vals(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
-                   n_rots, adaptive, pair_mask, splat: str = "trilinear"):
+                   n_rots, adaptive, pair_mask, splat: str = "trilinear",
+                   halfspace=None):
     """Flat voxel ids + splat weights per vote (see :func:`_vote_coords`).
 
     Returns (ids, vals) of length 8·P·R (trilinear) or P·R (nearest).
@@ -120,7 +138,7 @@ def _vote_ids_vals(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_sh
     gx, gy, gz = grid_shape
     fcomp, rcomp, wv = _vote_coords(
         pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
-        n_rots, adaptive, pair_mask,
+        n_rots, adaptive, pair_mask, halfspace=halfspace,
     )
     fx, fy, fz = fcomp
     rx, ry, rz = rcomp
@@ -163,6 +181,7 @@ def ppf_vote(
     pair_mask: jnp.ndarray | None = None,
     chunk: int = 4096,
     splat: str = "trilinear",
+    halfspace=None,
 ) -> jnp.ndarray:
     """Center-voting grid accumulation (reference models/voting.py:4-67).
 
@@ -171,6 +190,8 @@ def ppf_vote(
     (int); grid_shape static padded extent.  Returns grid [gx, gy, gz] f32.
     ``splat="trilinear"`` matches the reference's 8-corner weighting exactly;
     ``splat="nearest"`` is the fast mode (one add per vote).
+    ``halfspace`` gates per-pair vote circles to the object-interior side —
+    see :func:`_vote_coords`.
     """
     gx, gy, gz = grid_shape
     p = point_idxs.shape[0]
@@ -182,14 +203,21 @@ def ppf_vote(
     if pair_mask is None:
         pair_mask = jnp.ones((p,), dtype=bool)
     pair_mask = jnp.pad(pair_mask, (0, pad))
+    if halfspace is not None:
+        a_ref, n_ref, hs_gate, hs_margin = halfspace
+        halfspace = (jnp.pad(a_ref, ((0, pad), (0, 0))),
+                     jnp.pad(n_ref, ((0, pad), (0, 0))),
+                     jnp.pad(hs_gate, (0, pad)), hs_margin)
     res = jnp.asarray(res, pc.dtype)
     dims_f = grid_dims.astype(pc.dtype)
 
     def body(k, grid_flat):
         sl = lambda arr: lax.dynamic_slice_in_dim(arr, k * chunk, chunk)
+        hs = None if halfspace is None else (
+            sl(halfspace[0]), sl(halfspace[1]), sl(halfspace[2]), halfspace[3])
         ids, vals = _vote_ids_vals(
             pc, sl(preds_tr), probs, sl(point_idxs), corner, res, dims_f,
-            grid_shape, n_rots, adaptive, sl(pair_mask), splat,
+            grid_shape, n_rots, adaptive, sl(pair_mask), splat, halfspace=hs,
         )
         return grid_flat.at[ids].add(vals, mode="drop")
 
@@ -265,6 +293,7 @@ def ppf_vote_peak(
     use_pallas: bool | None = None,
     bound_dtype: str | None = None,
     reduce_fn=None,
+    halfspace=None,
 ):
     """Argmax/max of the :func:`ppf_vote` grid WITHOUT building the grid.
 
@@ -351,7 +380,7 @@ def ppf_vote_peak(
 
     fcomp, rcomp, wv = _vote_coords(
         pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
-        n_rots, adaptive, pair_mask,
+        n_rots, adaptive, pair_mask, halfspace=halfspace,
     )
     # flatten to votes and pad to the chunk size (padding votes carry w=0)
     v = point_idxs.shape[0] * n_rots
@@ -506,6 +535,7 @@ def ppf_vote_dense(
     splat: str = "trilinear",
     pool: Tuple[int, int, int] = (1, 1, 1),
     mxu_dtype: str | None = None,
+    halfspace=None,
 ) -> jnp.ndarray:
     """Dense vote histogram via the fused Pallas MXU kernel — the fast
     replacement for :func:`ppf_vote`'s XLA scatter (~0.1 G adds/s) when a
@@ -531,7 +561,7 @@ def ppf_vote_dense(
         pair_mask = jnp.ones((point_idxs.shape[0],), dtype=bool)
     fcomp, rcomp, wv = _vote_coords(
         pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shape,
-        n_rots, adaptive, pair_mask,
+        n_rots, adaptive, pair_mask, halfspace=halfspace,
     )
     v = point_idxs.shape[0] * n_rots
     chunk = min(_PALLAS_CHUNK, vchunk)

@@ -66,6 +66,14 @@ def named_sharding(mesh: Mesh, spec: P) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def _pad_halfspace(halfspace, pad: int):
+    """Pad a per-pair halfspace tuple's arrays to the sharded pair count."""
+    a_ref, n_ref, gate, margin = halfspace
+    return (jnp.pad(a_ref, ((0, pad), (0, 0))),
+            jnp.pad(n_ref, ((0, pad), (0, 0))),
+            jnp.pad(gate, (0, pad)), margin)
+
+
 def sharded_ppf_vote(
     mesh: Mesh,
     pc: jnp.ndarray,
@@ -80,11 +88,13 @@ def sharded_ppf_vote(
     adaptive: bool = False,
     pair_mask: Optional[jnp.ndarray] = None,
     splat: str = "trilinear",
+    halfspace=None,
 ) -> jnp.ndarray:
     """Pair-sharded center voting: each device accumulates votes for its pair
     shard into a local grid replica; one ``psum`` over the pair axis merges
     them (ICI all-reduce).  Bit-identical content to the single-device grid
-    up to float add order."""
+    up to float add order.  ``halfspace`` (per-pair, see
+    :func:`cppf_tpu.ops.voting._vote_coords`) shards with the pairs."""
     from functools import partial
 
     from jax import shard_map
@@ -99,22 +109,32 @@ def sharded_ppf_vote(
     if pair_mask is None:
         pair_mask = jnp.ones((p,), bool)
     pair_mask = jnp.pad(pair_mask, (0, pad))
+    hs_args, hs_specs = (), ()
+    hs_margin = None
+    if halfspace is not None:
+        hs_a, hs_n, hs_gate, hs_margin = _pad_halfspace(halfspace, pad)
+        hs_args = (hs_a, hs_n, hs_gate)
+        hs_specs = (P(PAIR_AXIS),) * 3
 
     @partial(
         shard_map,
         mesh=mesh,
         check_vma=False,
-        in_specs=(P(), P(PAIR_AXIS), P(), P(PAIR_AXIS), P(), P(), P(PAIR_AXIS)),
+        in_specs=(P(), P(PAIR_AXIS), P(), P(PAIR_AXIS), P(), P(), P(PAIR_AXIS))
+        + hs_specs,
         out_specs=P(),
     )
-    def _vote(pc_, preds_tr_, probs_, idxs_, corner_, dims_, mask_):
+    def _vote(pc_, preds_tr_, probs_, idxs_, corner_, dims_, mask_, *hs_):
+        hs = None if halfspace is None else (*hs_, hs_margin)
         local = ppf_vote(
             pc_, preds_tr_, probs_, idxs_, corner_, res, dims_, grid_shape,
             n_rots=n_rots, adaptive=adaptive, pair_mask=mask_, splat=splat,
+            halfspace=hs,
         )
         return jax.lax.psum(local, PAIR_AXIS)
 
-    return _vote(pc, preds_tr, probs, point_idxs, corner, grid_dims, pair_mask)
+    return _vote(pc, preds_tr, probs, point_idxs, corner, grid_dims, pair_mask,
+                 *hs_args)
 
 
 def sharded_ppf_vote_peak(
@@ -132,6 +152,7 @@ def sharded_ppf_vote_peak(
     pair_mask: Optional[jnp.ndarray] = None,
     splat: str = "trilinear",
     max_rounds: int = 0,
+    halfspace=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pair-sharded branch-and-bound grid peak — the multi-device form of the
     production fast path (:func:`cppf_tpu.ops.voting.ppf_vote_peak`).
@@ -157,20 +178,30 @@ def sharded_ppf_vote_peak(
     if pair_mask is None:
         pair_mask = jnp.ones((p,), bool)
     pair_mask = jnp.pad(pair_mask, (0, pad))
+    hs_args, hs_specs = (), ()
+    hs_margin = None
+    if halfspace is not None:
+        hs_a, hs_n, hs_gate, hs_margin = _pad_halfspace(halfspace, pad)
+        hs_args = (hs_a, hs_n, hs_gate)
+        hs_specs = (P(PAIR_AXIS),) * 3
 
     @partial(
         shard_map,
         mesh=mesh,
         check_vma=False,
-        in_specs=(P(), P(PAIR_AXIS), P(), P(PAIR_AXIS), P(), P(), P(PAIR_AXIS)),
+        in_specs=(P(), P(PAIR_AXIS), P(), P(PAIR_AXIS), P(), P(), P(PAIR_AXIS))
+        + hs_specs,
         out_specs=(P(), P()),
     )
-    def _peak(pc_, preds_tr_, probs_, idxs_, corner_, dims_, mask_):
+    def _peak(pc_, preds_tr_, probs_, idxs_, corner_, dims_, mask_, *hs_):
+        hs = None if halfspace is None else (*hs_, hs_margin)
         return ppf_vote_peak(
             pc_, preds_tr_, probs_, idxs_, corner_, res, dims_, grid_shape,
             n_rots=n_rots, adaptive=adaptive, pair_mask=mask_, splat=splat,
             max_rounds=max_rounds,
             reduce_fn=partial(jax.lax.psum, axis_name=PAIR_AXIS),
+            halfspace=hs,
         )
 
-    return _peak(pc, preds_tr, probs, point_idxs, corner, grid_dims, pair_mask)
+    return _peak(pc, preds_tr, probs, point_idxs, corner, grid_dims, pair_mask,
+                 *hs_args)

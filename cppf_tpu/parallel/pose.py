@@ -270,34 +270,45 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
     grid_dims = ((top - corner) / pcfg.res).astype(jnp.int32) + 1
     grid_dims = jnp.minimum(grid_dims, jnp.array(pcfg.grid_shape, jnp.int32))
     probs = jnp.ones((n,), pc.dtype)
-    # coplanar-pair filter (replicated per-pair math; same formula and 5%
-    # starvation guard as pipeline.pose.vote_pose)
+    # coplanar-pair filter / half-space gate (replicated per-pair math; same
+    # formulas and 5% starvation guard as pipeline.pose.vote_pose)
     base_mask = jnp.ones((point_idxs.shape[0],), dtype=bool)
-    if pcfg.filter_coplanar:
+    halfspace = None
+    if pcfg.filter_coplanar or pcfg.coplanar_halfspace:
         n1 = pc_normal[point_idxs[:, 0]]
         n2 = pc_normal[point_idxs[:, 1]]
-        ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
+        a_pts = pc[point_idxs[:, 0]]
+        ab = a_pts - pc[point_idxs[:, 1]]
         abu = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
         coplanar = (
             (jnp.abs(jnp.sum(n1 * n2, -1)) > 0.9)
             & (jnp.abs(jnp.sum(abu * n1, -1)) < 0.1)
             & (jnp.abs(jnp.sum(abu * n2, -1)) < 0.1)
         )
-        keep = ~coplanar
-        base_mask = keep | (jnp.mean(keep.astype(pc.dtype)) < 0.05)
+        if pcfg.coplanar_halfspace:
+            n_out = jnp.where(jnp.sum(n1 * a_pts, -1, keepdims=True) > 0,
+                              -n1, n1)
+            halfspace = (
+                a_pts, n_out, coplanar,
+                jnp.asarray(pcfg.halfspace_margin * pcfg.res, pc.dtype))
+        else:
+            keep = ~coplanar
+            base_mask = keep | (jnp.mean(keep.astype(pc.dtype)) < 0.05)
     if pcfg.center_mode == "hier":
         peak_idx, grid_max = sharded_ppf_vote_peak(
             mesh, pc, preds_tr, probs, point_idxs, corner, pcfg.res,
             grid_dims, pcfg.grid_shape, n_rots=pcfg.num_rots,
             adaptive=pcfg.adaptive_voting, pair_mask=base_mask,
-            splat=pcfg.splat, max_rounds=pcfg.peak_rounds)
+            splat=pcfg.splat, max_rounds=pcfg.peak_rounds,
+            halfspace=halfspace)
         T_est = corner + peak_idx.astype(pc.dtype) * pcfg.res
     else:
         grid = sharded_ppf_vote(mesh, pc, preds_tr, probs, point_idxs, corner,
                                 pcfg.res, grid_dims, pcfg.grid_shape,
                                 n_rots=pcfg.num_rots,
                                 adaptive=pcfg.adaptive_voting,
-                                pair_mask=base_mask, splat=pcfg.splat)
+                                pair_mask=base_mask, splat=pcfg.splat,
+                                halfspace=halfspace)
         T_est = grid_argmax(grid, corner, pcfg.res)
         grid_max = jnp.max(grid)
 
@@ -333,14 +344,16 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
                 mesh, pc, preds_tr, probs_c, point_idxs, corner, pcfg.res,
                 grid_dims, pcfg.grid_shape, n_rots=pcfg.num_rots,
                 adaptive=pcfg.adaptive_voting, pair_mask=base_mask,
-                splat=pcfg.splat, max_rounds=pcfg.peak_rounds)
+                splat=pcfg.splat, max_rounds=pcfg.peak_rounds,
+                halfspace=halfspace)
             T_ref = corner + peak_idx2.astype(pc.dtype) * pcfg.res
         else:
             grid2 = sharded_ppf_vote(mesh, pc, preds_tr, probs_c, point_idxs,
                                      corner, pcfg.res, grid_dims,
                                      pcfg.grid_shape, n_rots=pcfg.num_rots,
                                      adaptive=pcfg.adaptive_voting,
-                                     pair_mask=base_mask, splat=pcfg.splat)
+                                     pair_mask=base_mask, splat=pcfg.splat,
+                                     halfspace=halfspace)
             T_ref = grid_argmax(grid2, corner, pcfg.res)
         from cppf_tpu.pipeline.pose import _protrusion_centroid
 

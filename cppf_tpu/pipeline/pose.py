@@ -86,6 +86,25 @@ class PoseConfig:
     # them from the axis votes cost up 17.9→28.8° while the center-only
     # filter kept the T-lateral 158→96 mm win).
     filter_coplanar: bool = False
+    # Half-space vote gating for coplanar-ambiguous pairs — the
+    # vote-preserving alternative to filter_coplanar.  A same-plane pair's
+    # vote circle passes through the true center AND its mirror across the
+    # shared plane; dropping such pairs (filter_coplanar) starves the vote
+    # on plane-dominated views, while keeping them splits the peak.  Here
+    # they keep voting but only into the half-space BEHIND the observed
+    # surface: every visible surface's outward normal faces the camera
+    # (all drivers vote in a camera-at-origin frame), and the object
+    # center lies behind the surface, so candidates with
+    # (cand − a)·n̂_out > margin are exactly the mirror-side votes.  The
+    # reference has no counterpart (its SUN driver inherits the mirror
+    # ambiguity, sunrgbd/inference.py); measured on meter-scale furniture
+    # where correlated plane-pair errors are the dominant T bias
+    # (ROUND_NOTES session 7).  Takes precedence over filter_coplanar.
+    coplanar_halfspace: bool = False
+    # half-space slack in voxels (gates votes strictly outside the surface
+    # plane by more than this; the true center of a thin body can sit
+    # within a voxel of the plane itself)
+    halfspace_margin: float = 2.0
     # Weight each pair's cone votes on the axis sphere by the confidence
     # (max softmax prob) of its predicted angle distribution.  On
     # near-revolution bodies most pairs' angle-to-right is azimuth-ambiguous
@@ -190,6 +209,7 @@ class PoseConfig:
             grid_shape=(g, g, g),
             scale_multiplier=scale_multiplier,
             filter_coplanar=cfg.filter_coplanar,
+            coplanar_halfspace=cfg.coplanar_halfspace,
             sharp_axis_votes=cfg.sharp_axis_votes,
             aux_align_weight=cfg.aux_align_weight,
             asym_right_votes=cfg.asym_right_votes,
@@ -428,35 +448,52 @@ def vote_pose(
     if probs is None:
         probs = jnp.ones((n,), pc.dtype)
     base_mask = jnp.ones((point_idxs.shape[0],), dtype=bool)
-    if pcfg.filter_coplanar:
+    halfspace = None
+    if pcfg.filter_coplanar or pcfg.coplanar_halfspace:
         # coplanar-indistinguishable pairs (see PoseConfig.filter_coplanar):
         # both normals parallel and both ⟂ the pair axis → their vote circle
-        # hits the mirrored center too.  Disable the filter when it would
-        # leave <5% of pairs (pure-plane views: ambiguity is then inherent
-        # and a starved vote is worse than a mirrored one).
+        # hits the mirrored center too.
         n1 = pc_normal[point_idxs[:, 0]]
         n2 = pc_normal[point_idxs[:, 1]]
-        ab = pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]]
+        a_pts = pc[point_idxs[:, 0]]
+        ab = a_pts - pc[point_idxs[:, 1]]
         abu = ab / (jnp.linalg.norm(ab, axis=-1, keepdims=True) + 1e-7)
         coplanar = (
             (jnp.abs(jnp.sum(n1 * n2, -1)) > 0.9)
             & (jnp.abs(jnp.sum(abu * n1, -1)) < 0.1)
             & (jnp.abs(jnp.sum(abu * n2, -1)) < 0.1)
         )
-        keep = ~coplanar
-        base_mask = keep | (jnp.mean(keep.astype(pc.dtype)) < 0.05)
+        if pcfg.coplanar_halfspace:
+            # vote-preserving variant (PoseConfig.coplanar_halfspace): keep
+            # coplanar pairs voting, but only into the object-interior
+            # half-space.  Orient the normal toward the camera at the origin
+            # — outward for any visible surface — and let the vote kernels
+            # zero candidates more than `halfspace_margin` voxels in FRONT
+            # of the surface plane (exactly the mirror-side votes).
+            n_out = jnp.where(jnp.sum(n1 * a_pts, -1, keepdims=True) > 0,
+                              -n1, n1)
+            halfspace = (
+                a_pts, n_out, coplanar,
+                jnp.asarray(pcfg.halfspace_margin * pcfg.res, pc.dtype))
+        else:
+            # Disable the filter when it would leave <5% of pairs
+            # (pure-plane views: ambiguity is then inherent and a starved
+            # vote is worse than a mirrored one).
+            keep = ~coplanar
+            base_mask = keep | (jnp.mean(keep.astype(pc.dtype)) < 0.05)
     if pcfg.center_mode == "hier":
         peak_idx, grid_max = ppf_vote_peak(
             pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
             pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
             splat=pcfg.splat, max_rounds=pcfg.peak_rounds, pair_mask=base_mask,
+            halfspace=halfspace,
         )
         T_est = corner + peak_idx.astype(pc.dtype) * pcfg.res
     else:
         grid = ppf_vote(
             pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
             pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
-            splat=pcfg.splat, pair_mask=base_mask,
+            splat=pcfg.splat, pair_mask=base_mask, halfspace=halfspace,
         )
         T_est = grid_argmax(grid, corner, pcfg.res)
         grid_max = jnp.max(grid)
@@ -500,6 +537,7 @@ def vote_pose(
                 pcfg.grid_shape, n_rots=pcfg.num_rots,
                 adaptive=pcfg.adaptive_voting, splat=pcfg.splat,
                 max_rounds=pcfg.peak_rounds, pair_mask=base_mask,
+                halfspace=halfspace,
             )
             T_ref = corner + peak_idx2.astype(pc.dtype) * pcfg.res
         else:
@@ -507,7 +545,7 @@ def vote_pose(
                 pc, preds_tr, probs_c, point_idxs, corner, pcfg.res, grid_dims,
                 pcfg.grid_shape, n_rots=pcfg.num_rots,
                 adaptive=pcfg.adaptive_voting, splat=pcfg.splat,
-                pair_mask=base_mask,
+                pair_mask=base_mask, halfspace=halfspace,
             )
             T_ref = grid_argmax(grid2, corner, pcfg.res)
         # Take only the azimuthal component of the correction: the bias acts

@@ -66,11 +66,16 @@ def test_sharded_estimate_pose_matches_single(rng, center_mode):
     # geo_right_sign + geo_right_dir="direct" and sharp_axis_votes are the
     # capability flags the sharded twin historically diverged on (round-3
     # advisor findings) — pin them here so single vs sharded stay in lockstep
+    # cover both coplanar modes without doubling runs: the hier path takes
+    # the half-space gate (per-pair arrays sharded with the pairs), the grid
+    # path takes the drop-filter
     pcfg = PoseConfig(**{**pcfg.__dict__, "rot_subsample": 512, "num_rots": 16,
                          "knn": 16, "center_mode": center_mode,
                          "grid_shape": (48, 48, 48),
                          "subvoxel_refine": True,
-                         "filter_coplanar": True, "axis_topk": 3,
+                         "filter_coplanar": center_mode == "grid",
+                         "coplanar_halfspace": center_mode == "hier",
+                         "axis_topk": 3,
                          "up_prior_deg": 60.0,
                          "geo_right_sign": True, "geo_right_dir": "direct",
                          "sharp_axis_votes": True})

@@ -331,3 +331,99 @@ def test_center_refine_oracle_exact(rng):
     T3 = center_refine(jnp.array(pc), jnp.array(preds_tr), jnp.array(idxs),
                        jnp.array(T0), jnp.array(few), res)
     np.testing.assert_allclose(np.asarray(T3), T0, atol=1e-7)
+
+
+def _plane_mirror_scene(rng, n=240, p=3000):
+    """Table-top-like scene: all points on the plane z=1 (camera at the
+    origin, outward normals -z), true center BEHIND the plane at z=1.15.
+    Every pair is coplanar-ambiguous: its vote circle passes through the
+    true center AND the mirror at z=0.85."""
+    xy = rng.uniform(-0.15, 0.15, size=(n, 2)).astype(np.float32)
+    pc = np.concatenate([xy, np.ones((n, 1), np.float32)], -1)
+    center = np.array([0.0, 0.0, 1.15], np.float32)
+    mirror = np.array([0.0, 0.0, 0.85], np.float32)
+    idxs = rng.integers(0, n, size=(p, 2)).astype(np.int32)
+    a, b = pc[idxs[:, 0]], pc[idxs[:, 1]]
+    u = (a - b) / (np.linalg.norm(a - b, axis=-1, keepdims=True) + 1e-7)
+    proj = np.sum((a - center) * u, -1)
+    odist = np.linalg.norm(a - center - proj[:, None] * u, axis=-1)
+    preds_tr = np.stack([proj, odist], -1).astype(np.float32)
+    res = 0.01
+    corner = np.array([-0.2, -0.2, 0.7], np.float32)
+    dims = np.array([41, 41, 61], np.int32)
+    n_out = np.tile(np.float32([0.0, 0.0, -1.0]), (p, 1))
+    return pc, idxs, preds_tr, corner, res, dims, center, mirror, n_out
+
+
+def _ball_mass(grid, corner, res, loc, r=3):
+    i = np.round((loc - corner) / res).astype(int)
+    sl = tuple(slice(max(0, i[k] - r), i[k] + r + 1) for k in range(3))
+    return float(grid[sl].sum())
+
+
+def test_ppf_vote_halfspace_suppresses_mirror(rng):
+    """Coplanar pairs' vote circles hit the true center AND its mirror
+    across the shared plane; the half-space gate (object-interior side of
+    the camera-oriented normal) must kill the mirror peak while keeping the
+    true-center mass (PoseConfig.coplanar_halfspace)."""
+    pc, idxs, preds_tr, corner, res, dims, center, mirror, n_out = \
+        _plane_mirror_scene(rng)
+    gshape = (48, 48, 64)
+    args = (jnp.array(pc), jnp.array(preds_tr), jnp.ones(pc.shape[0]),
+            jnp.array(idxs), jnp.array(corner), res, jnp.array(dims), gshape)
+    base = np.asarray(ppf_vote(*args, n_rots=72, chunk=512))
+    m_true = _ball_mass(base, corner, res, center)
+    m_mirror = _ball_mass(base, corner, res, mirror)
+    # the ambiguity is real: mirror mass is comparable to the true mass
+    assert m_mirror > 0.5 * m_true
+
+    hs = (jnp.array(pc[idxs[:, 0]]), jnp.array(n_out),
+          jnp.ones(idxs.shape[0], bool), 2.0 * res)
+    gated = np.asarray(ppf_vote(*args, n_rots=72, chunk=512, halfspace=hs))
+    g_true = _ball_mass(gated, corner, res, center)
+    g_mirror = _ball_mass(gated, corner, res, mirror)
+    assert g_mirror < 0.02 * m_mirror          # mirror side dead
+    assert g_true > 0.95 * m_true              # true side preserved
+    # argmax now lands at the true center
+    t_est = np.asarray(grid_argmax(jnp.array(gated), jnp.array(corner), res))
+    assert np.linalg.norm(t_est - center) < 2 * res
+
+
+def test_ppf_vote_halfspace_ungated_is_noop(rng):
+    """gate=False pairs (and a huge margin) reproduce the baseline grid
+    exactly — the half-space path only ever removes gated mirror votes."""
+    pc, idxs, corner, res, dims, preds_tr, _ = _instance(rng)
+    gshape = (int(dims[0]) + 3, int(dims[1]) + 2, int(dims[2]) + 5)
+    args = (jnp.array(pc), jnp.array(preds_tr), jnp.ones(pc.shape[0]),
+            jnp.array(idxs), jnp.array(corner), res, jnp.array(dims), gshape)
+    base = np.asarray(ppf_vote(*args, n_rots=24, chunk=64))
+    a_pts = jnp.array(pc[idxs[:, 0]])
+    n_ref = jnp.array(np.tile(np.float32([0, 0, -1]), (idxs.shape[0], 1)))
+    off = np.asarray(ppf_vote(*args, n_rots=24, chunk=64,
+                              halfspace=(a_pts, n_ref,
+                                         jnp.zeros(idxs.shape[0], bool), 0.0)))
+    np.testing.assert_array_equal(off, base)
+    wide = np.asarray(ppf_vote(*args, n_rots=24, chunk=64,
+                               halfspace=(a_pts, n_ref,
+                                          jnp.ones(idxs.shape[0], bool), 1e3)))
+    np.testing.assert_array_equal(wide, base)
+
+
+@pytest.mark.parametrize("splat", ["trilinear", "nearest"])
+def test_ppf_vote_peak_halfspace_matches_grid(rng, splat):
+    """The branch-and-bound peak under a half-space gate equals the gated
+    grid's argmax/max (the gate folds into vote weights before the bounds)."""
+    pc, idxs, preds_tr, corner, res, dims, center, _, n_out = \
+        _plane_mirror_scene(rng, n=120, p=1500)
+    gshape = (48, 48, 64)
+    hs = (jnp.array(pc[idxs[:, 0]]), jnp.array(n_out),
+          jnp.ones(idxs.shape[0], bool), 2.0 * res)
+    args = (jnp.array(pc), jnp.array(preds_tr), jnp.ones(pc.shape[0]),
+            jnp.array(idxs), jnp.array(corner), res, jnp.array(dims))
+    grid = np.asarray(ppf_vote(*args, gshape, n_rots=24, chunk=256,
+                               splat=splat, halfspace=hs))
+    idx, val = ppf_vote_peak(*args, gshape, n_rots=24, vchunk=8192,
+                             splat=splat, halfspace=hs)
+    np.testing.assert_allclose(float(val), grid.max(), rtol=2e-5)
+    np.testing.assert_allclose(grid[tuple(np.asarray(idx))], grid.max(),
+                               rtol=2e-5)
