@@ -24,7 +24,8 @@ NOCS_CATEGORIES = ["bottle", "bowl", "camera", "can", "laptop", "mug"]
 SUN_CATEGORIES = ["table", "chair", "bed", "sofa", "bookshelf", "bathtub"]
 
 
-def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
+def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
+                  overrides: dict | None = None):
     """Depth-rendered single-object views (the training distribution), pose
     errors against the known GT.  Frame conventions match
     scripts/synthetic_benchmark.py::make_frames / the NOCS driver."""
@@ -42,6 +43,14 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0):
         adaptive_voting = False
 
     runner = CategoryRunner(category, ckpt_path, A)
+    if overrides:
+        # A/B harness: override inference-side flags (coplanar handling,
+        # axis decode, ...) without touching the committed category yamls
+        from cppf_tpu.pipeline.pose import PoseConfig
+
+        for k, v in overrides.items():
+            setattr(runner.cfg, k, v)
+        runner.pcfg = PoseConfig.from_config(runner.cfg, scale_multiplier=2.0)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     K = REAL275_INTRINSICS
@@ -127,14 +136,25 @@ def main():
     ap.add_argument("--ckpt_path", default="checkpoints")
     ap.add_argument("--n_poses", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--set", dest="overrides", nargs="*", default=[],
+                    metavar="KEY=VAL",
+                    help="inference-flag overrides for A/B runs, e.g. "
+                         "--set coplanar_halfspace=true filter_coplanar=false")
     args = ap.parse_args()
+    import yaml
+
+    overrides = {}
+    for kv in args.overrides:
+        k, _, v = kv.partition("=")
+        overrides[k] = yaml.safe_load(v)
 
     cats = args.categories or [c for c in NOCS_CATEGORIES + SUN_CATEGORIES
                                if os.path.isdir(os.path.join(args.ckpt_path, c))]
     results = {}
     for c in cats:
         try:
-            r = eval_category(c, args.ckpt_path, args.n_poses, args.seed)
+            r = eval_category(c, args.ckpt_path, args.n_poses, args.seed,
+                              overrides=overrides or None)
         except FileNotFoundError as e:
             print(f"{c}: no checkpoint ({e})")
             continue
