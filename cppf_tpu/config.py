@@ -154,6 +154,11 @@ class Config:
     # pipeline.pose.PoseConfig.coplanar_halfspace.  Takes precedence over
     # filter_coplanar when both are set.
     coplanar_halfspace: bool = False
+    # surface-patch-stratified pair sampling exponent (0 = uniform): weight
+    # each point by 1/count(8·res cell)^alpha so dominant planes with
+    # correlated per-pair vote errors can't outvote the rarer independent
+    # geometry; see pipeline.pose.sample_pair_indices
+    pair_balance: float = 0.0
 
     def resolved_grid_edge(self) -> int:
         if self.grid_edge:

@@ -242,8 +242,9 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
     nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
     feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
 
-    u = jax.random.uniform(rng_pairs, (pcfg.n_pairs, 2))
-    point_idxs = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+    from cppf_tpu.pipeline.pose import sample_pair_indices
+
+    point_idxs = sample_pair_indices(rng_pairs, pc, pc_normal, n_valid, pcfg)
     preds = sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs)
 
     # ---- decode (replicated; same draws as vote_pose) ----------------------

@@ -400,3 +400,48 @@ def test_axis_topk_oracle_equivalent(rng):
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
     up_true = R_true @ np.array([0, 1.0, 0])
     assert abs(float(outs[1] @ up_true)) > np.cos(np.deg2rad(5))
+
+
+def test_sample_pair_indices_uniform_and_stratified(rng):
+    """pair_balance=0 reproduces the legacy uniform draw bit-exactly (rng
+    parity for every committed checkpoint eval); pair_balance=1 equalises
+    pair mass across surface ORIENTATIONS (a dominant plane — one normal
+    bin — stops outvoting sparse independent geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cppf_tpu.pipeline.pose import PoseConfig, sample_pair_indices
+
+    n, n_valid = 1024, 900
+    # plane-dominated cloud: 800 points on a 0.4 m table top (+y normal),
+    # 100 on a cylindrical leg (radial normals, many orientation bins)
+    pc = np.zeros((n, 3), np.float32)
+    nrm = np.zeros((n, 3), np.float32)
+    pc[:800, [0, 2]] = rng.uniform(-0.2, 0.2, (800, 2))
+    nrm[:800, 1] = 1.0
+    th = rng.uniform(0, 2 * np.pi, 100)
+    pc[800:900, 0] = 0.02 * np.cos(th)
+    pc[800:900, 2] = 0.02 * np.sin(th)
+    pc[800:900, 1] = rng.uniform(-0.3, -0.1, 100)
+    nrm[800:900, 0] = np.cos(th)
+    nrm[800:900, 2] = np.sin(th)
+    # arbitrary solver signs must not change the strata
+    flip = rng.integers(0, 2, n).astype(np.float32) * 2 - 1
+    nrm = nrm * flip[:, None]
+    pcj, nrmj = jnp.asarray(pc), jnp.asarray(nrm)
+
+    key = jax.random.PRNGKey(3)
+    pcfg = PoseConfig(n_pairs=20000, res=5e-3)
+    legacy_u = jax.random.uniform(key, (pcfg.n_pairs, 2))
+    legacy = jnp.minimum((legacy_u * n_valid).astype(jnp.int32), n_valid - 1)
+    got = sample_pair_indices(key, pcj, nrmj, n_valid, pcfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(legacy))
+
+    pcfg_b = PoseConfig(n_pairs=20000, res=5e-3, pair_balance=1.0)
+    idx = np.asarray(sample_pair_indices(key, pcj, nrmj, n_valid,
+                                         pcfg_b)).reshape(-1)
+    assert idx.max() < n_valid  # never samples padding
+    frac_leg = np.mean(idx >= 800)
+    # uniform gives ~11% leg; the top plane is ONE orientation stratum while
+    # the leg spans many azimuth bins, so equalisation flips the balance
+    assert frac_leg > 0.5, frac_leg
