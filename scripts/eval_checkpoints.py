@@ -140,7 +140,14 @@ def main():
                     metavar="KEY=VAL",
                     help="inference-flag overrides for A/B runs, e.g. "
                          "--set coplanar_halfspace=true filter_coplanar=false")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (the env pins axon; a dead "
+                         "relay otherwise parks the run in the connect loop)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import yaml
 
     overrides = {}
