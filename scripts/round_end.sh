@@ -13,6 +13,9 @@ export PYTHONUNBUFFERED=1
 OUT=/tmp/round_end
 mkdir -p $OUT
 
+echo "=== translation-bias A/B (coplanar_halfspace / pair_balance) ==="
+bash scripts/ab_translation.sh 2>&1 | tee $OUT/ab_translation.log
+
 echo "=== eval_checkpoints ==="
 python scripts/eval_checkpoints.py --n_poses 12 \
   2> $OUT/eval_checkpoints.err | tee $OUT/eval_checkpoints.json
