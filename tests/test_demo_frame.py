@@ -33,6 +33,13 @@ needs_assets = pytest.mark.skipif(
     reason="committed demo frame / bowl_reg checkpoint missing",
 )
 
+# the supervised pin additionally needs the production bowl classification
+# checkpoint (checkpoints/bowl/params_best)
+needs_bowl_ckpt = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(CKPT_SUP, "bowl", "params_best")),
+    reason="production bowl checkpoint missing (retrain in progress)",
+)
+
 
 def _load_depth():
     import cv2
@@ -71,6 +78,7 @@ def test_zero_shot_demo_frame_two_bowls():
 
 
 @needs_assets
+@needs_bowl_ckpt
 def test_supervised_bowl_on_demo_frame():
     """The SUPERVISED bowl pipeline (production driver path, committed
     params_best) on crops of the same frame: recovered centers within 35 mm
