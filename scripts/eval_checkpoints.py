@@ -24,6 +24,21 @@ NOCS_CATEGORIES = ["bottle", "bowl", "camera", "can", "laptop", "mug"]
 SUN_CATEGORIES = ["table", "chair", "bed", "sofa", "bookshelf", "bathtub"]
 
 
+def _sign_cue(verts: np.ndarray, faces: np.ndarray, axis: int, diag: float):
+    """Area-weighted centroid offset along the canonical right axis, as a
+    fraction of the mesh diagonal.  ~0 for 2-fold-symmetric bodies (plain
+    tables: the right-axis SIGN is geometrically unlearnable, the aux bit
+    trains to chance) and clearly positive for cue-bearing draws (desk
+    drawer pedestals, mug handles).  Used to report signed-right error
+    honestly: only over draws where a sign exists to recover."""
+    tri = verts[faces]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1)
+    cen = tri.mean(1)[:, axis]
+    off = np.sum(area * cen) / (np.sum(area) + 1e-12)
+    return float(abs(off) / diag)
+
+
 def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
                   overrides: dict | None = None):
     """Depth-rendered single-object views (the training distribution), pose
@@ -58,6 +73,8 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
 
     t_errs, up_errs, right_errs, s_errs = [], [], [], []
     right_line_errs, t_up_errs, t_perp_errs = [], [], []
+    sign_cues = []  # per-draw geometric sign-informativeness (see _sign_cue)
+    ov_up_errs, ov_t_errs = [], []  # laptop plane-override path (scored alongside)
     attempts = 0
     while len(t_errs) < n_poses and attempts < n_poses * 3:
         attempts += 1
@@ -86,6 +103,16 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
 
         key, k1 = jax.random.split(key)
         out, _ = runner.estimate(k1, pc.astype(np.float32))
+        if category == "laptop":
+            # score the production plane-override path next to voting-only:
+            # the driver feeds a RANSAC base-plane normal of arbitrary sign
+            # (reference nocs/inference.py:314-323); GT up with a random sign
+            # is the clean stand-in (the flip logic must undo it)
+            lup = (R[:, 1] * float(rng.choice([-1.0, 1.0]))).astype(np.float32)
+            out_ov, _ = runner.estimate(k1, pc.astype(np.float32), laptop_up=lup)
+            ov_t_errs.append(float(np.linalg.norm(np.asarray(out_ov.T) - T)))
+            c_ov = float(np.clip(np.dot(np.asarray(out_ov.up), R[:, 1]), -1, 1))
+            ov_up_errs.append(float(np.degrees(np.arccos(c_ov))))
         T_est = np.asarray(out.T)
         up_est = np.asarray(out.up)
         s_est = np.asarray(out.scale)
@@ -113,6 +140,8 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
             # "sign at chance" (2-fold-symmetric bodies cannot learn the sign)
             right_line_errs.append(
                 float(np.degrees(np.arccos(np.clip(abs(cr), 0, 1)))))
+            cue_axis = 2 if runner.cfg.z_right else 0
+            sign_cues.append(_sign_cue(v_canon, mesh.faces, cue_axis, scale))
         bound = (hi - lo) / diag * scale
         s_errs.append(float(abs(np.linalg.norm(s_est) - np.linalg.norm(bound))
                             / np.linalg.norm(bound)))
@@ -127,6 +156,17 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
     if right_errs:
         out["right_err_deg_median"] = round(float(np.median(right_errs)), 1)
         out["right_line_deg_median"] = round(float(np.median(right_line_errs)), 1)
+        # signed error restricted to draws that geometrically CARRY a sign
+        # (cue ≥ 2% of scale); symmetric draws can only be scored on the line
+        cued = [e for e, c in zip(right_errs, sign_cues) if c >= 0.02]
+        out["n_sign_capable"] = len(cued)
+        if cued:
+            out["right_err_deg_median_signcue"] = round(
+                float(np.median(cued)), 1)
+    if ov_up_errs:
+        out["override_up_deg_median"] = round(float(np.median(ov_up_errs)), 1)
+        out["override_t_err_mm_median"] = round(
+            float(np.median(ov_t_errs)) * 1000, 1)
     return out
 
 
