@@ -11,8 +11,8 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 export PYTHONUNBUFFERED=1
 OUT=/tmp/ab_translation
 mkdir -p $OUT
-CATS="table sofa bed"
-N=12
+CATS=${CATS:-"table sofa bed"}
+N=${N:-12}
 
 run_arm () {
   local name=$1; shift
