@@ -25,18 +25,21 @@ SUN_CATEGORIES = ["table", "chair", "bed", "sofa", "bookshelf", "bathtub"]
 
 
 def _sign_cue(verts: np.ndarray, faces: np.ndarray, axis: int, diag: float):
-    """Area-weighted centroid offset along the canonical right axis, as a
-    fraction of the mesh diagonal.  ~0 for 2-fold-symmetric bodies (plain
-    tables: the right-axis SIGN is geometrically unlearnable, the aux bit
-    trains to chance) and clearly positive for cue-bearing draws (desk
-    drawer pedestals, mug handles).  Used to report signed-right error
-    honestly: only over draws where a sign exists to recover."""
+    """Geometric learnability of the right-axis SIGN, as a fraction of scale.
+
+    A body invariant under a 180° rotation about up maps right → −right, so
+    no training signal can fix the sign (the aux bit sits at chance: plain
+    rectangular tables).  The proxy is the area-weighted centroid offset in
+    the plane ⊥ up — that flip negates both in-plane coordinates, so any
+    first-moment offset (desk drawer pedestal along +x, sofa backrest along
+    +z, mug handle) breaks the symmetry and carries a sign cue.  ``axis``
+    is the canonical up (1 for y-up categories)."""
     tri = verts[faces]
     area = 0.5 * np.linalg.norm(
         np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1)
-    cen = tri.mean(1)[:, axis]
-    off = np.sum(area * cen) / (np.sum(area) + 1e-12)
-    return float(abs(off) / diag)
+    cen = np.delete(tri.mean(1), axis, axis=1)  # in-plane coords [F, 2]
+    off = np.linalg.norm(area @ cen) / (np.sum(area) + 1e-12)
+    return float(off / diag)
 
 
 def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
@@ -140,8 +143,8 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
             # "sign at chance" (2-fold-symmetric bodies cannot learn the sign)
             right_line_errs.append(
                 float(np.degrees(np.arccos(np.clip(abs(cr), 0, 1)))))
-            cue_axis = 2 if runner.cfg.z_right else 0
-            sign_cues.append(_sign_cue(v_canon, mesh.faces, cue_axis, scale))
+            # up axis in the trained canonical frame is +y for every category
+            sign_cues.append(_sign_cue(v_canon, mesh.faces, 1, scale))
         bound = (hi - lo) / diag * scale
         s_errs.append(float(abs(np.linalg.norm(s_est) - np.linalg.norm(bound))
                             / np.linalg.norm(bound)))
