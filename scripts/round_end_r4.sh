@@ -13,7 +13,7 @@ echo "=== translation-bias A/B (coplanar_halfspace / pair_balance) ==="
 N=8 bash scripts/ab_translation.sh 2>&1 | tee $OUT/ab_translation.log
 
 echo "=== eval_checkpoints (all 12) ==="
-timeout 1500 python scripts/eval_checkpoints.py --n_poses 12 \
+timeout 1500 python scripts/eval_checkpoints.py --n_poses 10 \
   2> $OUT/eval_checkpoints.err | tee $OUT/eval_checkpoints.json
 
 echo "=== synthetic NOCS benchmark (multi-category) ==="
@@ -26,16 +26,16 @@ tail -25 $OUT/synth_nocs.log
 echo "=== bench.py ==="
 timeout 900 python bench.py 2> $OUT/bench.err | tee $OUT/bench.json
 
-echo "=== synthetic SUN RGB-D benchmark (all six) ==="
+echo "=== synthetic SUN RGB-D benchmark (A/B categories first) ==="
 for c in table sofa bed chair bookshelf bathtub; do
-  timeout 600 python scripts/sunrgbd_synthetic_benchmark.py --category $c \
+  timeout 480 python scripts/sunrgbd_synthetic_benchmark.py --category $c \
     --n_scans 8 --out_dir /tmp/sunrgbd_synth_$c \
     > $OUT/synth_sunrgbd_$c.log 2>&1 || true
   tail -6 $OUT/synth_sunrgbd_$c.log
 done
 
 echo "=== zero-shot on the real demo frame ==="
-timeout 600 python -m cppf_tpu.eval.zero_shot --ckpt checkpoints/bowl_reg \
+timeout 480 python -m cppf_tpu.eval.zero_shot --ckpt checkpoints/bowl_reg \
   --out $OUT/zero_shot_vis.png > $OUT/zero_shot.log 2>&1
 tail -10 $OUT/zero_shot.log
 
