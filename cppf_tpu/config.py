@@ -113,6 +113,12 @@ class Config:
     # the weight on azimuth-ambiguous wall pairs whose bit is unlearnable.
     aux_asym: bool = False
 
+    # Train-side: multiply the right-bit BCE inside the total loss (the
+    # logged component stays raw).  The bit is ~0.7 of a ~9.0 total and
+    # learns but is gradient-starved (camera r4: 0.694→0.666 over 90
+    # epochs); 1.0 = reference-parity unboosted sum.
+    right_aux_boost: float = 1.0
+
     # Train-side: weight the up-angle KL by bottom-slab (base) membership of
     # the pair (core/targets.py::base_membership) so hinge-ambiguous lid-lid
     # pairs of articulated clamshell bodies stop teaching the up head.  For

@@ -39,13 +39,19 @@ def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def ppf_losses(preds, tr_prob, rot_prob, aux, scale_target, tr_num_bins, rot_num_bins,
-               regress_right: bool, aux_weight=None, up_rot_weight=None):
+               regress_right: bool, aux_weight=None, up_rot_weight=None,
+               right_aux_boost: float = 1.0):
     """Slice the head output (reference train.py:68-75) and compute all terms.
 
     preds: [P, out_dim]; tr_prob: [P,2,B]; rot_prob: [P,2,R]; aux: [P,2];
     scale_target: [3]; aux_weight: optional [P,2] per-pair informativeness
     weights for the orientation-bit BCEs (|n_canon·axis|; the reference's
     unweighted BCE trains the bit to chance on near-revolution bodies).
+    ``right_aux_boost`` multiplies the right-bit BCE inside the total (the
+    reported component stays the raw BCE so logs remain comparable): the
+    right-sign task is ~0.7 of a ~9.0 total, and the probe on camera shows
+    it learns but is gradient-starved (0.694→0.666 over 90 epochs) — no
+    reference counterpart (its unweighted sum has the same starvation).
     Returns (total, dict of components).
     """
     import jax
@@ -77,7 +83,7 @@ def ppf_losses(preds, tr_prob, rot_prob, aux, scale_target, tr_num_bins, rot_num
         loss_right = kldiv_batchmean(jax.nn.log_softmax(preds_right, -1), rot_prob[:, 1])
         w_right = aux_weight[:, 1] if aux_weight is not None else None
         loss_right_aux = bce_with_logits(preds_right_aux, aux[:, 1], w_right)
-        total = total + loss_right + loss_right_aux
+        total = total + loss_right + right_aux_boost * loss_right_aux
         comps["loss_right"] = loss_right
         comps["loss_right_aux"] = loss_right_aux
     comps["loss"] = total

@@ -55,10 +55,12 @@ class TrainStatics:
     regress_right: bool
     knn: int
     cls_bins: bool = True
+    right_aux_boost: float = 1.0
 
     @classmethod
     def from_config(cls, cfg: Config):
-        return cls(cfg.tr_num_bins, cfg.rot_num_bins, cfg.regress_right, cfg.knn, cfg.cls_bins)
+        return cls(cfg.tr_num_bins, cfg.rot_num_bins, cfg.regress_right, cfg.knn,
+                   cfg.cls_bins, cfg.right_aux_boost)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -104,6 +106,7 @@ def loss_fn(params, batch: Batch, statics: TrainStatics):
                 preds, tr_prob, rot_prob, aux, st,
                 statics.tr_num_bins, statics.rot_num_bins, statics.regress_right,
                 aux_weight=aux_w, up_rot_weight=up_w,
+                right_aux_boost=statics.right_aux_boost,
             )
         return ppf_regression_losses(preds, tr_prob, rot_prob, aux, st,
                                      aux_weight=aux_w)

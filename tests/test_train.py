@@ -52,6 +52,32 @@ def test_loss_decreases():
     assert np.isfinite(losses).all()
 
 
+def test_right_aux_boost_scales_total_only():
+    """right_aux_boost multiplies the right-bit BCE inside the total; the
+    logged component and every other term stay bit-identical, and boost=1
+    reproduces the unboosted total exactly."""
+    import jax.numpy as jnp
+
+    from cppf_tpu.train.losses import ppf_losses
+
+    rng = np.random.default_rng(0)
+    P, B, R = 64, 8, 6
+    preds = jnp.asarray(rng.normal(size=(P, 2 * B + 2 * R + 2 + 3)), jnp.float32)
+    tr = jax.nn.softmax(jnp.asarray(rng.normal(size=(P, 2, B)), jnp.float32), -1)
+    rot = jax.nn.softmax(jnp.asarray(rng.normal(size=(P, 2, R)), jnp.float32), -1)
+    aux = jnp.asarray(rng.integers(0, 2, size=(P, 2)), jnp.float32)
+    st = jnp.asarray(rng.normal(size=(3,)), jnp.float32)
+
+    t1, c1 = ppf_losses(preds, tr, rot, aux, st, B, R, True)
+    t3, c3 = ppf_losses(preds, tr, rot, aux, st, B, R, True, right_aux_boost=3.0)
+    assert float(t1) == float(c1["loss"])
+    np.testing.assert_allclose(float(t3 - t1), 2.0 * float(c1["loss_right_aux"]),
+                               rtol=1e-5)
+    for k in ("loss_tr", "loss_up", "loss_right", "loss_right_aux", "loss_up_aux",
+              "loss_scale"):
+        assert float(c1[k]) == float(c3[k]), k
+
+
 def test_train_one_epoch_and_checkpoint(tmp_path):
     cfg = _small_cfg()
     cfg.max_epoch = 1
