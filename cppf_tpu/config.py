@@ -113,6 +113,12 @@ class Config:
     # the weight on azimuth-ambiguous wall pairs whose bit is unlearnable.
     aux_asym: bool = False
 
+    # Inference-side: pin float32 matmul precision on the network half of
+    # the pose pipeline (encoders + KNN).  The TPU MXU's default bf16
+    # multiplies add logit noise that tips near-tie axis decodes (sofa up
+    # 13.2° CPU vs 84.5° TPU, same checkpoint/seed).  No effect on CPU.
+    net_f32: bool = False
+
     # Train-side: multiply the right-bit BCE inside the total loss (the
     # logged component stays raw).  The bit is ~0.7 of a ~9.0 total and
     # learns but is gradient-starved (camera r4: 0.694→0.666 over 90

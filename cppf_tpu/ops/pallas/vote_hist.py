@@ -83,9 +83,14 @@ def _bound_kernel(fx_r, fy_r, fz_r, rx_r, ry_r, rz_r, w_r, out_ref, *,
     cols = jnp.concatenate([cy, cz], axis=0)
     cols = jnp.pad(cols, ((0, cols_p - by_n - bz_n), (0, 0)))
 
+    # precision pinned: these one-hot/trilinear operands are exact in bf16
+    # (f32 accumulation via preferred_element_type); an ambient
+    # default_matmul_precision("float32") (net/decode f32 mode) would
+    # otherwise reach Mosaic as fp32-contract-on-bf16 — a compile error.
     m = jax.lax.dot_general(rows.astype(mxu_dtype), cols.astype(mxu_dtype),
                             (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -163,7 +168,8 @@ def _refine_kernel(o_ref, fx_r, fy_r, fz_r, rx_r, ry_r, rz_r, w_r, out_ref,
     ayz = hat(fy, ry, o_ref[1], jy) * hat(fz, rz, o_ref[2], jz)  # [w8*w8, C]
 
     m = jax.lax.dot_general(ax, ayz, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(pl.program_id(0) == 0)
     def _():

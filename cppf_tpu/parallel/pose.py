@@ -237,15 +237,22 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
     n = pc.shape[0]
     valid_mask = jnp.arange(n) < n_valid
 
-    # per-point work: replicated (cheap relative to the pair stages)
+    # per-point work: replicated (cheap relative to the pair stages).
+    # net_f32 mirrors pipeline.pose.pair_predictions — the single-device
+    # parity contract includes the matmul precision of the network half.
+    import contextlib
+
+    prec = (jax.default_matmul_precision("float32") if pcfg.net_f32
+            else contextlib.nullcontext())
     point_encoder = PointEncoder(spfcs=(32, 64, 32, 32), out_dim=32, num_layers=1)
-    nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
-    feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
+    with prec:
+        nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
+        feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
 
-    from cppf_tpu.pipeline.pose import sample_pair_indices
+        from cppf_tpu.pipeline.pose import sample_pair_indices
 
-    point_idxs = sample_pair_indices(rng_pairs, pc, pc_normal, n_valid, pcfg)
-    preds = sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs)
+        point_idxs = sample_pair_indices(rng_pairs, pc, pc_normal, n_valid, pcfg)
+        preds = sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs)
 
     # ---- decode (replicated; same draws as vote_pose) ----------------------
     rng_tr, rng_up, rng_right, rng_fallback = jax.random.split(rng_vote, 4)

@@ -13,6 +13,7 @@ point clouds and reads back a 9D pose.
 """
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
@@ -190,6 +191,11 @@ class PoseConfig:
     # exactly 90° off).  The sign still comes from the aux bit.
     up_prior_deg: float = 0.0
     up_prior_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    # Pin float32 matmul precision on the network half (encoders + KNN
+    # distances).  The TPU MXU's default bf16 multiplies add logit noise
+    # that tips near-tie axis decodes (sofa up 13.2° CPU vs 84.5° TPU,
+    # same checkpoint/seed); CPU is unaffected (always f32).
+    net_f32: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -222,6 +228,7 @@ class PoseConfig:
             geo_right_sign=cfg.geo_right_sign,
             geo_right_dir=cfg.geo_right_dir,
             axis_topk=cfg.axis_topk,
+            net_f32=cfg.net_f32,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -383,11 +390,20 @@ def pair_predictions(
     out_dim = 2 * pcfg.tr_num_bins + 2 * pcfg.rot_num_bins + 2 + 3
     ppf_encoder = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=out_dim)
 
-    nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
-    feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
+    # net_f32: the TPU MXU's DEFAULT precision multiplies in bf16; the
+    # resulting logit noise tips near-tie axis decodes (sofa up 13.2° on
+    # CPU vs 84.5° on TPU, same checkpoint/seed — the r3 "wrong-plane
+    # flip" knife edge).  Pinning f32 on the NETWORK half (and the KNN
+    # distances that pick the neighbourhoods) restores CPU-grade decode;
+    # the vote kernels stay at their exact integer-count configuration.
+    prec = (jax.default_matmul_precision("float32") if pcfg.net_f32
+            else contextlib.nullcontext())
+    with prec:
+        nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
+        feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
 
-    point_idxs = sample_pair_indices(rng, pc, pc_normal, n_valid, pcfg)
-    preds = ppf_encoder.apply(ppf_params, pc, pc_normal, feat, point_idxs)
+        point_idxs = sample_pair_indices(rng, pc, pc_normal, n_valid, pcfg)
+        preds = ppf_encoder.apply(ppf_params, pc, pc_normal, feat, point_idxs)
     return point_idxs, preds
 
 
