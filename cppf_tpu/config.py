@@ -113,11 +113,12 @@ class Config:
     # the weight on azimuth-ambiguous wall pairs whose bit is unlearnable.
     aux_asym: bool = False
 
-    # Inference-side: pin float32 matmul precision on the network half of
-    # the pose pipeline (encoders + KNN).  The TPU MXU's default bf16
-    # multiplies add logit noise that tips near-tie axis decodes (sofa up
-    # 13.2° CPU vs 84.5° TPU, same checkpoint/seed).  No effect on CPU.
-    net_f32: bool = False
+    # Inference-side: pin float32 matmul precision across the pose pipeline
+    # (network, KNN, decode projections).  The TPU MXU's default bf16
+    # multiplies tip near-tie axis decodes: sofa n=8, same checkpoint/seed,
+    # TPU-default up 84.5° vs f32 17.9° — and the f32 TPU run matches CPU
+    # almost bit-for-bit (T median identical).  No effect on CPU.
+    pose_f32: bool = True
 
     # Train-side: multiply the right-bit BCE inside the total loss (the
     # logged component stays raw).  The bit is ~0.7 of a ~9.0 total and

@@ -71,7 +71,7 @@ class CategoryRunner:
                   "geo_right_sign", "geo_right_dir", "filter_coplanar",
                   "coplanar_halfspace", "pair_balance",
                   "sharp_axis_votes", "aux_align_weight", "axis_topk",
-                  "net_f32"):
+                  "pose_f32"):
             setattr(self.cfg, k, getattr(repo_cfg, k))
         self.pcfg = PoseConfig.from_config(self.cfg, scale_multiplier=2.0)
         self.sphere = jnp.array(self.pcfg.sphere_points())

@@ -228,7 +228,20 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
     summation order, for both ``center_mode="grid"`` and the production
     ``"hier"`` branch-and-bound fast path (psum'd bound projections + refine
     windows — see :func:`cppf_tpu.parallel.mesh.sharded_ppf_vote_peak`).
+    The matmul-precision context (PoseConfig.pose_f32) wraps the whole body
+    — part of the single-device parity contract.
     """
+    from cppf_tpu.pipeline.pose import _prec
+
+    with _prec(pcfg):
+        return _sharded_estimate_pose_body(
+            mesh, rng, point_params, ppf_params, pc, pc_normal, n_valid,
+            sphere_pts, pcfg, nbr_idx)
+
+
+def _sharded_estimate_pose_body(mesh, rng, point_params, ppf_params, pc,
+                                pc_normal, n_valid, sphere_pts,
+                                pcfg: PoseConfig, nbr_idx=None) -> PoseResult:
     from cppf_tpu.models.encoders import PointEncoder
     from cppf_tpu.ops.knn import knn_indices
     from cppf_tpu.ops.voting import grid_argmax
@@ -237,22 +250,15 @@ def sharded_estimate_pose(mesh, rng, point_params, ppf_params, pc, pc_normal,
     n = pc.shape[0]
     valid_mask = jnp.arange(n) < n_valid
 
-    # per-point work: replicated (cheap relative to the pair stages).
-    # net_f32 mirrors pipeline.pose.pair_predictions — the single-device
-    # parity contract includes the matmul precision of the network half.
-    import contextlib
-
-    prec = (jax.default_matmul_precision("float32") if pcfg.net_f32
-            else contextlib.nullcontext())
+    # per-point work: replicated (cheap relative to the pair stages)
     point_encoder = PointEncoder(spfcs=(32, 64, 32, 32), out_dim=32, num_layers=1)
-    with prec:
-        nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
-        feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
+    nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
+    feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
 
-        from cppf_tpu.pipeline.pose import sample_pair_indices
+    from cppf_tpu.pipeline.pose import sample_pair_indices
 
-        point_idxs = sample_pair_indices(rng_pairs, pc, pc_normal, n_valid, pcfg)
-        preds = sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs)
+    point_idxs = sample_pair_indices(rng_pairs, pc, pc_normal, n_valid, pcfg)
+    preds = sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs)
 
     # ---- decode (replicated; same draws as vote_pose) ----------------------
     rng_tr, rng_up, rng_right, rng_fallback = jax.random.split(rng_vote, 4)

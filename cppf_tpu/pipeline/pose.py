@@ -191,11 +191,15 @@ class PoseConfig:
     # exactly 90° off).  The sign still comes from the aux bit.
     up_prior_deg: float = 0.0
     up_prior_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0)
-    # Pin float32 matmul precision on the network half (encoders + KNN
-    # distances).  The TPU MXU's default bf16 multiplies add logit noise
-    # that tips near-tie axis decodes (sofa up 13.2° CPU vs 84.5° TPU,
-    # same checkpoint/seed); CPU is unaffected (always f32).
-    net_f32: bool = False
+    # Pin float32 matmul precision across the pose pipeline (network,
+    # KNN, and the decode-half projections).  The TPU MXU's default bf16
+    # multiplies tip near-tie axis decodes: sofa n=8 same checkpoint/seed,
+    # TPU-default up 84.5° / right 47.9° vs f32 17.9°/14.9° — the f32 run
+    # matches CPU almost bit-for-bit (T median identical at 188.8 mm).
+    # Network-only pinning was measured insufficient (up 55.9°).  The
+    # Pallas vote-hist dots pin their own DEFAULT precision (exact one-hot
+    # operands), so this does not reach Mosaic.  CPU is unaffected.
+    pose_f32: bool = True
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -228,7 +232,7 @@ class PoseConfig:
             geo_right_sign=cfg.geo_right_sign,
             geo_right_dir=cfg.geo_right_dir,
             axis_topk=cfg.axis_topk,
-            net_f32=cfg.net_f32,
+            pose_f32=cfg.pose_f32,
         )
 
     def sphere_points(self) -> np.ndarray:
@@ -390,15 +394,7 @@ def pair_predictions(
     out_dim = 2 * pcfg.tr_num_bins + 2 * pcfg.rot_num_bins + 2 + 3
     ppf_encoder = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=out_dim)
 
-    # net_f32: the TPU MXU's DEFAULT precision multiplies in bf16; the
-    # resulting logit noise tips near-tie axis decodes (sofa up 13.2° on
-    # CPU vs 84.5° on TPU, same checkpoint/seed — the r3 "wrong-plane
-    # flip" knife edge).  Pinning f32 on the NETWORK half (and the KNN
-    # distances that pick the neighbourhoods) restores CPU-grade decode;
-    # the vote kernels stay at their exact integer-count configuration.
-    prec = (jax.default_matmul_precision("float32") if pcfg.net_f32
-            else contextlib.nullcontext())
-    with prec:
+    with _prec(pcfg):
         nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
         feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
 
@@ -464,6 +460,12 @@ def _protrusion_centroid(pc, T_est, up, n_valid, asym):
     return h_dir, gate
 
 
+def _prec(pcfg: PoseConfig):
+    """Matmul-precision context for the pipeline (see PoseConfig.pose_f32)."""
+    return (jax.default_matmul_precision("float32") if pcfg.pose_f32
+            else contextlib.nullcontext())
+
+
 def vote_pose(
     rng: jax.Array,
     pc: jnp.ndarray,
@@ -478,6 +480,25 @@ def vote_pose(
     laptop_up_valid: jnp.ndarray | None = None,
 ) -> PoseResult:
     """Voting half: decode pair predictions into a 9D pose (no network)."""
+    with _prec(pcfg):
+        return _vote_pose_body(rng, pc, pc_normal, point_idxs, preds, n_valid,
+                               sphere_pts, pcfg, probs, laptop_up,
+                               laptop_up_valid)
+
+
+def _vote_pose_body(
+    rng: jax.Array,
+    pc: jnp.ndarray,
+    pc_normal: jnp.ndarray,
+    point_idxs: jnp.ndarray,
+    preds: jnp.ndarray,
+    n_valid,
+    sphere_pts: jnp.ndarray,
+    pcfg: PoseConfig,
+    probs: jnp.ndarray | None = None,
+    laptop_up: jnp.ndarray | None = None,
+    laptop_up_valid: jnp.ndarray | None = None,
+) -> PoseResult:
     n = pc.shape[0]
     valid_mask = jnp.arange(n) < n_valid
     rng_tr, rng_up, rng_right, rng_fallback = jax.random.split(rng, 4)

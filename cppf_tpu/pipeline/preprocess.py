@@ -61,8 +61,16 @@ def preprocess_cloud(
     pc = jnp.where(valid[:, None], pc, 0.0)
     from cppf_tpu.ops.knn import knn_indices
 
-    nbr_idx = knn_indices(pc, knn, valid)
-    normals = estimate_normals(pc, knn, valid, nbr_idx=nbr_idx)
+    # Geometry estimation is pinned to f32 matmuls unconditionally: the TPU
+    # MXU's default bf16 multiplies perturb the KNN distance ordering and
+    # the covariance eig inputs, i.e. the NORMALS themselves — measured as
+    # the largest single contributor to the CPU-vs-TPU decode divergence
+    # (sofa up: 55.9° with only the pose pipeline pinned vs 17.9° with
+    # preprocessing pinned too; CPU reference 13.2°).  Cost is negligible
+    # next to the pair stages.
+    with jax.default_matmul_precision("float32"):
+        nbr_idx = knn_indices(pc, knn, valid)
+        normals = estimate_normals(pc, knn, valid, nbr_idx=nbr_idx)
     normals = jnp.where(valid[:, None], normals, 0.0)
     return PreprocessedCloud(pc, normals, n_keep.astype(jnp.int32), valid, nbr_idx,
                              take.astype(jnp.int32))
