@@ -140,6 +140,17 @@ class Config:
     # 612→0 proposals on the real frame across epochs 60→200).
     contrast_val_every: int = 0
 
+    # Decode-quality validation cadence (epochs; 0 = off).  Supervised
+    # (cls_bins=True) training only: every N epochs a fixed held-out set of
+    # ``decode_val_poses`` rendered poses is decoded by the full voting
+    # pipeline with the current params, and params_best is selected on the
+    # decode score (train/decode_val.py) instead of total loss — round-4
+    # postmortem: three retrains hit round-3-level losses yet decoded at
+    # up-error 88°/30°/chance-sign and were all rejected head-to-head; loss
+    # is blind to decode quality.  Upgrades reference train.py:113-120.
+    decode_val_every: int = 0
+    decode_val_poses: int = 6
+
     # --- TPU-specific static-shape knobs (no reference counterpart) -------
     # Number of sampled point pairs per training sample / inference instance.
     train_pairs: int = 200000

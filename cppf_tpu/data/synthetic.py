@@ -405,6 +405,26 @@ def mesh_bounds(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
     return mesh.vertices.min(0), mesh.vertices.max(0)
 
 
+def mesh_sign_cue(verts: np.ndarray, faces: np.ndarray, axis: int, diag: float):
+    """Geometric learnability of the right-axis SIGN, as a fraction of scale.
+
+    A body invariant under a 180° rotation about up maps right → −right, so
+    no training signal can fix the sign (the aux bit sits at chance: plain
+    rectangular tables).  The proxy is the area-weighted centroid offset in
+    the plane ⊥ up — that flip negates both in-plane coordinates, so any
+    first-moment offset (desk drawer pedestal along +x, sofa backrest along
+    +z, mug handle) breaks the symmetry and carries a sign cue.  ``axis``
+    is the canonical up (1 for y-up categories).  Shared by the round-end
+    checkpoint eval and the in-training decode validation so signed-right
+    errors are scored only where the sign is learnable."""
+    tri = verts[faces]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1)
+    cen = np.delete(tri.mean(1), axis, axis=1)  # in-plane coords [F, 2]
+    off = np.linalg.norm(area @ cen) / (np.sum(area) + 1e-12)
+    return float(off / diag)
+
+
 def oracle_pair_predictions(
     pc_cam: np.ndarray,
     normals_cam: np.ndarray,

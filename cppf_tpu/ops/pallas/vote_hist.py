@@ -290,6 +290,12 @@ def dense_hist(fx, fy, fz, rx, ry, rz, w, *, cx: int, cy: int, cz: int,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if precision is None:
+        # pin like _bound_kernel/_refine_kernel: an ambient
+        # default_matmul_precision("float32") (pose_f32 mode) with bf16
+        # operands is a Mosaic compile error — these one-hot operands are
+        # exact in bf16 anyway, so DEFAULT is the correct contract
+        precision = jax.lax.Precision.DEFAULT
     v = fx.shape[0]
     assert v % chunk == 0, (v, chunk)
     cols = cy * cz

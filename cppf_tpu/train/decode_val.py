@@ -1,0 +1,173 @@
+"""Decode-quality validation for supervised (cls_bins) training.
+
+Round-4 postmortem: three fresh retrains (mug/camera/laptop) reached
+losses near-identical to the round-3 checkpoints yet decoded FAR worse
+(mug up 5.1°→88.5° with loss_up differing by 0.03) and all three were
+rejected by head-to-head eval — best-total-loss checkpoint selection is
+blind to decode quality.  This module renders a small FIXED held-out set
+of posed primitives once at train start (seed disjoint from both the
+training stream and the round-end eval protocol), runs the full voting
+decode with the CURRENT params every ``cfg.decode_val_every`` epochs, and
+scores translation / up / right / scale recovery.  The train loop selects
+``params_best`` on this score instead of loss.
+
+Upgrades reference ``train.py:113-120`` (which saves best-total-loss only
+and has no decode-quality signal at all).
+"""
+from __future__ import annotations
+
+import logging
+from typing import NamedTuple
+
+import numpy as np
+
+log = logging.getLogger("cppf_tpu.train.decode_val")
+
+# held-out RNG seed: training streams use seed 0 (ShapeNetRenderDataset),
+# eval_checkpoints / synthetic_benchmark default to seed 0 — decode-val
+# draws must overlap neither (selection on the test set) nor the training
+# epoch content.
+_VAL_SEED = 777
+
+
+class _ValPose(NamedTuple):
+    pc: np.ndarray        # [N, 3] camera-frame cloud (NOCS driver frame)
+    R: np.ndarray         # [3, 3] GT rotation of the trained canonical frame
+    T: np.ndarray         # [3] GT translation
+    bound_norm: float     # |GT per-axis extents| (scale_target convention)
+    scale: float          # GT diagonal scale (m)
+    sign_cue: float       # geometric right-sign informativeness (frac of scale)
+
+
+class DecodeValidator:
+    """Renders the held-out pose set once; ``__call__(params, key)`` runs
+    the full pipeline and returns a metrics dict with scalar ``dv_score``
+    (lower is better)."""
+
+    def __init__(self, cfg, n_poses: int | None = None, seed: int = _VAL_SEED):
+        from cppf_tpu.core.geometry import backproject
+        from cppf_tpu.data import native
+        from cppf_tpu.data.shapenet import FLIP2NOCS, NOCS_CATEGORIES
+        from cppf_tpu.data.synthetic import (mesh_bounds, mesh_sign_cue,
+                                             observation_pose, random_primitive)
+        from cppf_tpu.eval.nocs_inference import REAL275_INTRINSICS
+        from cppf_tpu.pipeline.pose import PoseConfig
+
+        self.cfg = cfg
+        self.pcfg = PoseConfig.from_config(cfg, n_pairs=cfg.infer_pairs,
+                                           scale_multiplier=2.0)
+        self._sphere = None  # device array, built lazily
+        n_poses = n_poses or cfg.decode_val_poses
+        rng = np.random.default_rng(seed)
+        K = REAL275_INTRINSICS
+        is_nocs = cfg.category in NOCS_CATEGORIES
+        self.poses: list[_ValPose] = []
+        attempts = 0
+        while len(self.poses) < n_poses and attempts < n_poses * 4:
+            attempts += 1
+            mesh = random_primitive(cfg.category, rng)
+            lo, hi = mesh_bounds(mesh)
+            diag = float(np.linalg.norm(hi - lo))
+            scale = float(rng.uniform(*cfg.scale_range))
+            R, T = observation_pose(rng, is_nocs=is_nocs)
+            v_canon = (mesh.vertices - (lo + hi) / 2) / diag * scale
+            if is_nocs:
+                v_canon = v_canon @ FLIP2NOCS.T
+            v_render = (v_canon @ R.T + T) * np.float32([1, -1, -1])
+            depth = native.rasterize_depth(v_render, mesh.faces, K[0, 0],
+                                           K[1, 1], K[0, 2], K[1, 2], 640, 480)
+            mask = depth > 0
+            if mask.sum() < 300:
+                continue
+            pc, _ = backproject(depth, K, mask)
+            pc[:, 0] = -pc[:, 0]
+            pc[:, 1] = -pc[:, 1]
+            bound = (hi - lo) / diag * scale
+            cue = (mesh_sign_cue(v_canon, mesh.faces, 1, scale)
+                   if cfg.regress_right else 0.0)
+            self.poses.append(_ValPose(pc.astype(np.float32), R,
+                                       T.astype(np.float32),
+                                       float(np.linalg.norm(bound)),
+                                       scale, cue))
+        if not self.poses:
+            raise RuntimeError(f"decode-val: no renderable draws for {cfg.category}")
+
+    def _estimate(self, params, key, pc_raw, laptop_up=None):
+        import jax
+        import jax.numpy as jnp
+
+        from cppf_tpu.pipeline.pose import estimate_pose
+        from cppf_tpu.pipeline.preprocess import preprocess_cloud
+
+        cfg = self.cfg
+        if self._sphere is None:
+            self._sphere = jnp.array(self.pcfg.sphere_points())
+        pad = np.zeros((cfg.npoint_max, 3), np.float32)
+        n_raw = min(len(pc_raw), cfg.npoint_max)
+        if len(pc_raw) > cfg.npoint_max:  # stride-subsample (CategoryRunner)
+            pad[:] = pc_raw[np.linspace(0, len(pc_raw) - 1, cfg.npoint_max).astype(int)]
+        else:
+            pad[:n_raw] = pc_raw[:n_raw]
+        r1, r2 = jax.random.split(key)
+        pre = preprocess_cloud(r1, jnp.asarray(pad), n_raw, cfg.res,
+                               npoint_pad=cfg.npoint_pad, knn=cfg.knn)
+        kwargs = {}
+        if laptop_up is not None:
+            kwargs = dict(laptop_up=jnp.asarray(laptop_up, jnp.float32),
+                          laptop_up_valid=jnp.asarray(True))
+        return estimate_pose(r2, params["point"], params["ppf"], pre.pc,
+                             pre.normals, pre.n_valid, self._sphere, self.pcfg,
+                             nbr_idx=pre.nbr_idx, **kwargs)
+
+    def __call__(self, params, key) -> dict:
+        import jax
+
+        cfg = self.cfg
+        rng = np.random.default_rng(_VAL_SEED + 1)  # override signs, fixed
+        t_pct, up_deg, s_pct = [], [], []
+        right_line, right_cued, ov_up = [], [], []
+        for vp in self.poses:
+            key, k1 = jax.random.split(key)
+            out = self._estimate(params, k1, vp.pc)
+            T_est = np.asarray(out.T)
+            t_pct.append(float(np.linalg.norm(T_est - vp.T)) / vp.scale * 100)
+            cos_up = float(np.clip(np.dot(np.asarray(out.up), vp.R[:, 1]), -1, 1))
+            up_deg.append(float(np.degrees(np.arccos(cos_up))))
+            s_pct.append(abs(float(np.linalg.norm(np.asarray(out.scale)))
+                             - vp.bound_norm) / vp.bound_norm * 100)
+            if cfg.regress_right:
+                right_true = vp.R[:, 2] if cfg.z_right else vp.R[:, 0]
+                cr = float(np.clip(np.dot(np.asarray(out.right), right_true), -1, 1))
+                if cfg.right_sym:
+                    cr = abs(cr)
+                right_line.append(float(np.degrees(np.arccos(abs(cr)))))
+                if vp.sign_cue >= 0.02 and not cfg.right_sym:
+                    right_cued.append(float(np.degrees(np.arccos(cr))))
+            if cfg.category == "laptop":
+                # score the production plane-override path too: the r4
+                # up_rot_base retrain broke the override sign-undo (151°)
+                # while voting-only looked unchanged — select on BOTH
+                lup = (vp.R[:, 1] * float(rng.choice([-1.0, 1.0]))).astype(np.float32)
+                out_ov = self._estimate(params, k1, vp.pc, laptop_up=lup)
+                c_ov = float(np.clip(np.dot(np.asarray(out_ov.up), vp.R[:, 1]), -1, 1))
+                ov_up.append(float(np.degrees(np.arccos(c_ov))))
+
+        med = lambda xs: float(np.median(xs))
+        m = {"dv_t_pct": round(med(t_pct), 2), "dv_up_deg": round(med(up_deg), 2),
+             "dv_scale_pct": round(med(s_pct), 2), "dv_n": len(self.poses)}
+        # scalar selection score: all terms live on comparable scales
+        # (degrees 0-180, percents 0-50); up dominates by design — it was
+        # the r4 failure axis
+        score = m["dv_up_deg"] + m["dv_t_pct"] + 0.5 * m["dv_scale_pct"]
+        if right_line:
+            m["dv_right_line_deg"] = round(med(right_line), 2)
+            score += 0.5 * m["dv_right_line_deg"]
+        if right_cued:
+            m["dv_right_cued_deg"] = round(med(right_cued), 2)
+            m["dv_n_cued"] = len(right_cued)
+            score += 0.5 * m["dv_right_cued_deg"]
+        if ov_up:
+            m["dv_override_up_deg"] = round(med(ov_up), 2)
+            score += m["dv_override_up_deg"]
+        m["dv_score"] = round(score, 2)
+        return m

@@ -163,6 +163,19 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
     rng = jax.random.fold_in(jax.random.PRNGKey(1), start_epoch)
     best_loss = np.inf
     best_zs = -np.inf
+    best_dv = np.inf
+    decode_val = None
+    if cfg.decode_val_every > 0 and cfg.cls_bins:
+        from cppf_tpu.train.decode_val import DecodeValidator
+
+        decode_val = DecodeValidator(cfg)
+        dv_path = os.path.join(out_dir, "decode_metrics.jsonl")
+        if os.path.exists(dv_path):  # resume: keep the standing best
+            with open(dv_path) as f:
+                scores = [json.loads(l).get("dv_score") for l in f if l.strip()]
+            scores = [s for s in scores if s is not None]
+            if scores:
+                best_dv = min(scores)
     val_scene = None
     if cfg.contrast_val_every > 0 and not cfg.cls_bins:
         from cppf_tpu.eval.contrast_val import make_val_scene
@@ -215,7 +228,25 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
         if avg["loss"] < best_loss:
             best_loss = avg["loss"]
             checkpoints.save_train_state(out_dir, state, name="best")
-            checkpoints.save_params(out_dir, state.params, name="params_best")
+            if decode_val is None:
+                # legacy reference behavior (train.py:113-120): best loss IS
+                # the production selection when decode validation is off
+                checkpoints.save_params(out_dir, state.params, name="params_best")
+        if decode_val is not None and (
+                (epoch + 1) % cfg.decode_val_every == 0
+                or epoch == cfg.max_epoch - 1):
+            rng, kdv = jax.random.split(rng)
+            dv = decode_val(jax.device_get(state.params), kdv)
+            dv["epoch"] = epoch
+            with open(os.path.join(out_dir, "decode_metrics.jsonl"), "a") as f:
+                f.write(json.dumps(dv) + "\n")
+            log.info("decode val epoch %d: %s", epoch,
+                     "  ".join(f"{k}={v}" for k, v in sorted(dv.items())
+                               if k != "epoch"))
+            if dv["dv_score"] < best_dv:
+                best_dv = dv["dv_score"]
+                checkpoints.save_params(out_dir, state.params, name="params_best")
+                checkpoints.save_train_state(out_dir, state, name="best_decode")
         if val_scene is not None and (epoch + 1) % cfg.contrast_val_every == 0:
             from cppf_tpu.eval.contrast_val import proposal_contrast_score
 

@@ -24,22 +24,10 @@ NOCS_CATEGORIES = ["bottle", "bowl", "camera", "can", "laptop", "mug"]
 SUN_CATEGORIES = ["table", "chair", "bed", "sofa", "bookshelf", "bathtub"]
 
 
-def _sign_cue(verts: np.ndarray, faces: np.ndarray, axis: int, diag: float):
-    """Geometric learnability of the right-axis SIGN, as a fraction of scale.
+def _sign_cue(verts, faces, axis, diag):
+    from cppf_tpu.data.synthetic import mesh_sign_cue
 
-    A body invariant under a 180° rotation about up maps right → −right, so
-    no training signal can fix the sign (the aux bit sits at chance: plain
-    rectangular tables).  The proxy is the area-weighted centroid offset in
-    the plane ⊥ up — that flip negates both in-plane coordinates, so any
-    first-moment offset (desk drawer pedestal along +x, sofa backrest along
-    +z, mug handle) breaks the symmetry and carries a sign cue.  ``axis``
-    is the canonical up (1 for y-up categories)."""
-    tri = verts[faces]
-    area = 0.5 * np.linalg.norm(
-        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1)
-    cen = np.delete(tri.mean(1), axis, axis=1)  # in-plane coords [F, 2]
-    off = np.linalg.norm(area @ cen) / (np.sum(area) + 1e-12)
-    return float(off / diag)
+    return mesh_sign_cue(verts, faces, axis, diag)
 
 
 def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,

@@ -19,6 +19,7 @@ def _small_cfg():
     cfg.train_pairs = 2048
     cfg.batch_size = 2
     cfg.max_epoch = 2
+    cfg.decode_val_every = 0  # full-pipeline decode val tested separately
     return cfg
 
 
@@ -121,6 +122,63 @@ def test_regression_variant_training():
         state, comps = train_step(state, batch, statics, tx)
         losses.append(float(comps["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_decode_val_selection(tmp_path):
+    """decode_val_every>0 routes params_best through the decode score:
+    metrics land in decode_metrics.jsonl, the score is finite, and the
+    committed params_best equals the state at the (single) validation."""
+    import json
+    import os
+
+    cfg = _small_cfg()
+    cfg.max_epoch = 1
+    cfg.infer_pairs = 2048
+    cfg.num_rots = 18
+    cfg.decode_val_every = 1
+    cfg.decode_val_poses = 2
+    out = train(cfg, out_dir=str(tmp_path / "ckpt"), epoch_len=2)
+    dv_path = tmp_path / "ckpt" / "decode_metrics.jsonl"
+    assert os.path.exists(dv_path)
+    rows = [json.loads(l) for l in open(dv_path)]
+    assert len(rows) == 1 and rows[0]["epoch"] == 0
+    assert np.isfinite(rows[0]["dv_score"])
+    for k in ("dv_t_pct", "dv_up_deg", "dv_scale_pct"):
+        assert np.isfinite(rows[0][k]), k
+    # the decode-selected params_best is the epoch-0 state (only candidate)
+    from cppf_tpu.train.checkpoints import load_params
+
+    params = load_params(str(tmp_path / "ckpt"), name="params_best")
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(out["state"].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # best_decode train state exists for decode-selected resume
+    assert os.path.isdir(tmp_path / "ckpt" / "best_decode")
+
+
+def test_decode_validator_scores_oracle_vs_random():
+    """A DecodeValidator built on tiny shapes returns finite metrics and the
+    expected keys for a regress_right category (right-line term present)."""
+    from cppf_tpu.train.decode_val import DecodeValidator
+    from cppf_tpu.train.step import init_train_state
+
+    cfg = load_config("mug")
+    cfg.knn = 12
+    cfg.npoint_pad = 512
+    cfg.npoint_max = 2000
+    cfg.infer_pairs = 2048
+    cfg.num_rots = 18
+    cfg.decode_val_poses = 2
+    dv = DecodeValidator(cfg)
+    assert len(dv.poses) == 2
+    state = init_train_state(jax.random.PRNGKey(0), cfg, cfg.npoint_pad)
+    m = dv(jax.device_get(state.params), jax.random.PRNGKey(1))
+    assert np.isfinite(m["dv_score"])
+    assert "dv_right_line_deg" in m
+    # random-init params should decode poorly — the score must not read
+    # as better than a few degrees total (guards against a trivially-zero
+    # metric wiring bug)
+    assert m["dv_score"] > 5.0
 
 
 def test_full_train_state_roundtrip(tmp_path):
