@@ -202,7 +202,7 @@ def _np_vote_pipeline(pc, normals, preds, idxs, cfg, sphere, rng):
     return T_est, best
 
 
-def run_bench(jax, dev, on_cpu: bool):
+def run_bench(jax, dev, on_cpu: bool, overrides=None):
     import jax.numpy as jnp
 
     from cppf_tpu.utils.cache import enable_compilation_cache
@@ -215,7 +215,7 @@ def run_bench(jax, dev, on_cpu: bool):
     from cppf_tpu.pipeline.preprocess import preprocess_cloud
 
     _log(f"device: {dev}")
-    cfg = load_config("bottle")
+    cfg = load_config("bottle", overrides=overrides)
     rng = np.random.default_rng(0)
     N_PAIRS = 100000
 
@@ -359,9 +359,12 @@ def main():
         "error": None,
     }
     try:
+        from cppf_tpu.config import parse_cli_overrides
+
+        overrides = parse_cli_overrides(sys.argv[1:])  # e.g. pose_f32=decode
         jax, dev, err = _acquire_device()
         on_cpu = dev.platform == "cpu"
-        record.update(run_bench(jax, dev, on_cpu))
+        record.update(run_bench(jax, dev, on_cpu, overrides=overrides or None))
         record["error"] = err
         if err:
             record["device"] = f"{dev} (CPU fallback — TPU relay unavailable)"

@@ -118,7 +118,12 @@ class Config:
     # multiplies tip near-tie axis decodes: sofa n=8, same checkpoint/seed,
     # TPU-default up 84.5° vs f32 17.9° — and the f32 TPU run matches CPU
     # almost bit-for-bit (T median identical).  No effect on CPU.
-    pose_f32: bool = True
+    # "decode" (default) pins only the decode half — the network stays on
+    # the TPU-default bf16 MXU passes.  A/B'd round 5 (BENCH.md): quality
+    # matches full f32 on the precision-sensitive categories (sofa
+    # identical; mug/camera right differences inside the chance-sign band,
+    # camera actually better) at ~6% less latency (20.1 vs 21.4 ms/pose).
+    pose_f32: bool | str = "decode"
 
     # Train-side: multiply the right-bit BCE inside the total loss (the
     # logged component stays raw).  The bit is ~0.7 of a ~9.0 total and

@@ -189,7 +189,17 @@ def laptop_up_from_aux(img, depth_mask_idxs, pc, pre, segmenter, rng):
     pad[:n] = base_pts[:n]
     plane, _ = segment_plane(rng, jnp.asarray(pad), 0.02, 100,
                              valid_mask=jnp.arange(4096) < n)
-    return np.asarray(plane)[:3]
+    normal = np.asarray(plane)[:3]
+    # orient toward the camera (visible-surface rule): the RANSAC normal's
+    # sign is solver-arbitrary, but the camera at the origin sees the TOP of
+    # the base plane, so the outward (true-up) normal satisfies n·p < 0 on
+    # the observed plane points.  vote_pose's override trusts this sign —
+    # deriving it from the voted axes instead is exactly what broke at
+    # chance-level up-aux (r4 postmortem; reference nocs/inference.py:314-323
+    # has the same vulnerability).
+    if float(normal @ base_pts[:n].mean(0)) > 0:
+        normal = -normal
+    return normal
 
 
 def main(argv=None):

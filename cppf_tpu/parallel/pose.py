@@ -250,15 +250,18 @@ def _sharded_estimate_pose_body(mesh, rng, point_params, ppf_params, pc,
     n = pc.shape[0]
     valid_mask = jnp.arange(n) < n_valid
 
-    # per-point work: replicated (cheap relative to the pair stages)
-    point_encoder = PointEncoder(spfcs=(32, 64, 32, 32), out_dim=32, num_layers=1)
-    nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
-    feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
+    # per-point work: replicated (cheap relative to the pair stages).
+    # network half under its own precision context (pose_f32="decode"
+    # resets the enclosing f32 scope to bf16 — single-device parity)
+    from cppf_tpu.pipeline.pose import _prec_net, sample_pair_indices
 
-    from cppf_tpu.pipeline.pose import sample_pair_indices
+    with _prec_net(pcfg):
+        point_encoder = PointEncoder(spfcs=(32, 64, 32, 32), out_dim=32, num_layers=1)
+        nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
+        feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
 
-    point_idxs = sample_pair_indices(rng_pairs, pc, pc_normal, n_valid, pcfg)
-    preds = sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs)
+        point_idxs = sample_pair_indices(rng_pairs, pc, pc_normal, n_valid, pcfg)
+        preds = sharded_ppf_head(mesh, ppf_params, pc, pc_normal, feat, point_idxs)
 
     # ---- decode (replicated; same draws as vote_pose) ----------------------
     rng_tr, rng_up, rng_right, rng_fallback = jax.random.split(rng_vote, 4)

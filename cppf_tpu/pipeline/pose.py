@@ -199,7 +199,9 @@ class PoseConfig:
     # Network-only pinning was measured insufficient (up 55.9°).  The
     # Pallas vote-hist dots pin their own DEFAULT precision (exact one-hot
     # operands), so this does not reach Mosaic.  CPU is unaffected.
-    pose_f32: bool = True
+    # "decode" (default): decode-half f32 only, network stays bf16 (see
+    # _prec_net) — quality-equivalent per the round-5 A/B, ~6% faster.
+    pose_f32: bool | str = "decode"
 
     @classmethod
     def from_config(cls, cfg: Config, n_pairs: Optional[int] = None, scale_multiplier: float = 2.0):
@@ -394,7 +396,7 @@ def pair_predictions(
     out_dim = 2 * pcfg.tr_num_bins + 2 * pcfg.rot_num_bins + 2 + 3
     ppf_encoder = PPFEncoder(ppffcs=(84, 32, 32, 16), out_dim=out_dim)
 
-    with _prec(pcfg):
+    with _prec_net(pcfg):
         nbr = nbr_idx if nbr_idx is not None else knn_indices(pc, pcfg.knn, valid_mask)
         feat = point_encoder.apply(point_params, pc, pc_normal, nbr, valid_mask)
 
@@ -461,7 +463,22 @@ def _protrusion_centroid(pc, T_est, up, n_valid, asym):
 
 
 def _prec(pcfg: PoseConfig):
-    """Matmul-precision context for the pipeline (see PoseConfig.pose_f32)."""
+    """Decode-half matmul-precision context (see PoseConfig.pose_f32):
+    f32 when pose_f32 is truthy (True or "decode")."""
+    return (jax.default_matmul_precision("float32") if pcfg.pose_f32
+            else contextlib.nullcontext())
+
+
+def _prec_net(pcfg: PoseConfig):
+    """Network-half matmul-precision context.  pose_f32="decode" keeps the
+    SPRIN/PPF encoders on the TPU-default bf16 passes (MXU speed) while the
+    decode projections stay f32 — the untested middle arm from the round-4
+    precision postmortem (network-ONLY pinning was measured insufficient,
+    up 55.9°; whether decode-only recovers full f32 quality is an A/B).
+    "default" resets an enclosing f32 scope (the sharded twin wraps its
+    whole body)."""
+    if pcfg.pose_f32 == "decode":
+        return jax.default_matmul_precision("default")
     return (jax.default_matmul_precision("float32") if pcfg.pose_f32
             else contextlib.nullcontext())
 
@@ -679,12 +696,22 @@ def _vote_pose_body(
 
     # laptop plane override (reference :314-323)
     if laptop_up is not None:
+        # Caller contract: ``laptop_up`` is the base-plane normal oriented
+        # TOWARD the camera (visible-surface rule, n·p < 0 on plane points
+        # — see eval.nocs_inference.laptop_up_from_aux).  The r4 lesson:
+        # deriving the sign from the voted axes ((up+right)·n, the old
+        # rule) breaks exactly when the vote's up sign is at chance — the
+        # flip followed the bad vote (override up 151° on the r4 laptop
+        # retrain).  With a geometrically-trusted sign, the only decision
+        # left is whether the vote confused up with right (clamshell
+        # half-open: base normal can match the voted right), so compare
+        # the LINE alignments and overwrite up whenever the plane agrees
+        # with up no worse than with right — including the flipped-up case
+        # (up·lup ≈ −1 < |right·lup|).  Upgrades reference
+        # nocs/inference.py:314-323.
         lv = laptop_up_valid if laptop_up_valid is not None else jnp.array(True)
-        flip = (jnp.dot(up, laptop_up) + jnp.dot(right, laptop_up)) < (
-            -jnp.dot(up, laptop_up) - jnp.dot(right, laptop_up)
-        )
-        lup = jnp.where(flip, -laptop_up, laptop_up)
-        wrong = jnp.dot(up, lup) < jnp.dot(right, lup)
+        lup = laptop_up
+        wrong = jnp.dot(up, lup) < jnp.abs(jnp.dot(right, lup))
         new_up = jnp.where(wrong & lv, lup, up)
         new_right = jnp.where(wrong & lv, orthonormal_right(lup, up), right)
         up, right = new_up, new_right

@@ -8,6 +8,7 @@ train.py:113-120).  We keep that cadence but save full train state
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Optional
 
@@ -97,7 +98,14 @@ def maybe_load_any(ckpt_dir: str, name: str = "best") -> Optional[dict]:
     """Load our orbax params if present, else a reference .pth pair, else None."""
     orbax_path = os.path.join(_path(ckpt_dir), name)
     if os.path.isdir(orbax_path):
-        return load_params(ckpt_dir, name)
+        try:
+            return load_params(ckpt_dir, name)
+        except Exception as e:  # corrupt/partial save (e.g. a dir whose
+            # array payload never landed — round-3 bookshelf outage): treat
+            # as absent so multi-category drivers skip instead of dying
+            logging.getLogger("cppf_tpu.checkpoints").warning(
+                "unreadable checkpoint %s (%s: %s) — treating as missing",
+                orbax_path, type(e).__name__, e)
     pt = os.path.join(ckpt_dir, f"point_encoder_epoch{name}.pth")
     pf = os.path.join(ckpt_dir, f"ppf_encoder_epoch{name}.pth")
     if os.path.exists(pt) and os.path.exists(pf):

@@ -123,7 +123,6 @@ class DecodeValidator:
         import jax
 
         cfg = self.cfg
-        rng = np.random.default_rng(_VAL_SEED + 1)  # override signs, fixed
         t_pct, up_deg, s_pct = [], [], []
         right_line, right_cued, ov_up = [], [], []
         for vp in self.poses:
@@ -146,8 +145,10 @@ class DecodeValidator:
             if cfg.category == "laptop":
                 # score the production plane-override path too: the r4
                 # up_rot_base retrain broke the override sign-undo (151°)
-                # while voting-only looked unchanged — select on BOTH
-                lup = (vp.R[:, 1] * float(rng.choice([-1.0, 1.0]))).astype(np.float32)
+                # while voting-only looked unchanged — select on BOTH.
+                # Camera-facing sign per the laptop_up_from_aux contract.
+                lup = (vp.R[:, 1] * (-1.0 if float(vp.R[:, 1] @ vp.T) > 0
+                                     else 1.0)).astype(np.float32)
                 out_ov = self._estimate(params, k1, vp.pc, laptop_up=lup)
                 c_ov = float(np.clip(np.dot(np.asarray(out_ov.up), vp.R[:, 1]), -1, 1))
                 ov_up.append(float(np.degrees(np.arccos(c_ov))))

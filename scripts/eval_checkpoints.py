@@ -96,10 +96,11 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
         out, _ = runner.estimate(k1, pc.astype(np.float32))
         if category == "laptop":
             # score the production plane-override path next to voting-only:
-            # the driver feeds a RANSAC base-plane normal of arbitrary sign
-            # (reference nocs/inference.py:314-323); GT up with a random sign
-            # is the clean stand-in (the flip logic must undo it)
-            lup = (R[:, 1] * float(rng.choice([-1.0, 1.0]))).astype(np.float32)
+            # the driver feeds a RANSAC base-plane normal oriented toward
+            # the camera (visible-surface rule, laptop_up_from_aux); GT up
+            # with that same orientation is the clean stand-in
+            lup = (R[:, 1] * (-1.0 if float(R[:, 1] @ T) > 0 else 1.0)
+                   ).astype(np.float32)
             out_ov, _ = runner.estimate(k1, pc.astype(np.float32), laptop_up=lup)
             ov_t_errs.append(float(np.linalg.norm(np.asarray(out_ov.T) - T)))
             c_ov = float(np.clip(np.dot(np.asarray(out_ov.up), R[:, 1]), -1, 1))

@@ -28,10 +28,11 @@ run () {
   echo "=== $name done rc=$rc [$(date +%H:%M:%S)] ==="
 }
 
-# 1. bookshelf: finish the interrupted r3 run (ep18 -> 200) in place.
-#    resume=true warm-starts params from the committed params_best (the
-#    orbax last/ train state did not survive the r4 VM wipe).
-run bookshelf category=bookshelf resume=true
+# 1. bookshelf: FRESH retrain at the repo 64-bin config -> experiment dir.
+#    (The interrupted r3 ep18 params_best turned out to have no array
+#    payload in git — unreadable; the complete r2-era 200-epoch 32-bin
+#    checkpoint is restored as the production fallback meanwhile.)
+run bookshelf_r5 category=bookshelf out_dir=checkpoints/bookshelf_r5
 
 # 2. bathtub at the repo config's 64 tr bins (production is a stale 32-bin
 #    head) -> experiment dir, promote after eval.

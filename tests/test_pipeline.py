@@ -119,6 +119,40 @@ def test_estimate_pose_runs_with_random_weights(rng):
     np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
 
 
+def test_pose_f32_decode_mode_matches_on_cpu(rng):
+    """pose_f32="decode" (decode-half f32, network bf16 on TPU) traces,
+    compiles, and on CPU — where every matmul is f32 regardless — is
+    bit-identical to pose_f32=True with the same rng."""
+    from cppf_tpu.pipeline.pose import make_models
+
+    cfg = load_config("bowl")
+    cfg.knn = 16
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, "bowl", n=800)
+    pad = np.zeros((1024, 3), np.float32)
+    pad[:800] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 800, cfg.res,
+                           npoint_pad=1024, knn=16)
+    point_enc, ppf_enc = make_models(cfg)
+    from cppf_tpu.ops.knn import knn_indices
+
+    nbr = knn_indices(pre.pc, 16)
+    p_pt = point_enc.init(jax.random.PRNGKey(0), pre.pc, pre.normals, nbr)
+    feat = point_enc.apply(p_pt, pre.pc, pre.normals, nbr)
+    p_ppf = ppf_enc.init(
+        jax.random.PRNGKey(1), pre.pc, pre.normals, feat, jnp.zeros((4, 2), jnp.int32)
+    )
+    outs = {}
+    for mode in (True, "decode"):
+        pcfg = PoseConfig.from_config(cfg, n_pairs=2048)
+        pcfg = PoseConfig(**{**pcfg.__dict__, "knn": 16, "pose_f32": mode})
+        outs[mode] = estimate_pose(
+            jax.random.PRNGKey(3), p_pt, p_ppf, pre.pc, pre.normals,
+            pre.n_valid, jnp.array(pcfg.sphere_points()), pcfg,
+        )
+    for a, b in zip(outs[True], outs["decode"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
 def test_estimate_pose_batch(rng):
     """Batched multi-instance inference agrees with per-instance calls."""
     import jax
@@ -195,6 +229,15 @@ def test_laptop_up_override(rng):
     assert np.isfinite(np.asarray(res2.R)).all()
     RtR = np.asarray(res2.R).T @ np.asarray(res2.R)
     np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
+    assert float(np.asarray(res2.up) @ wrong_lup) > 0.95
+    # the caller's sign is TRUSTED (camera-facing contract,
+    # laptop_up_from_aux): a negated axis claim is followed as-is rather
+    # than re-derived from the voted axes — the re-derivation is what broke
+    # at chance-level up-aux in round 4 (override up 151°)
+    res3 = vote_pose(jax.random.PRNGKey(2), pre.pc, pre.normals, jnp.array(idxs),
+                     jnp.array(preds), pre.n_valid, sphere, pcfg,
+                     laptop_up=jnp.asarray(-wrong_lup), laptop_up_valid=jnp.asarray(True))
+    assert float(np.asarray(res3.up) @ wrong_lup) < -0.95
 
 
 def test_oracle_pose_recovery_asym_right(rng):
