@@ -174,3 +174,52 @@ def test_sparse_heatmap_proposals_match_dense(rng):
     for (cd, dd), (cs, ds) in zip(p_dense, p_sparse):
         np.testing.assert_allclose(cd, cs, atol=2 * res)
         np.testing.assert_allclose(dd, ds, rtol=0.05)
+
+
+def test_zero_shot_benchmark_plumbing(tmp_path):
+    """scripts/zero_shot_benchmark.py result-building: GT-oracle detections
+    through the mAP protocol must score AP 100 (and an empty detector 0)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from synthetic_benchmark import make_frames
+    from zero_shot_benchmark import run_frames
+
+    from cppf_tpu.eval import nocs_eval
+    from cppf_tpu.eval.nocs_inference import SYNSET_NAMES
+    from cppf_tpu.eval.zero_shot import Detection
+
+    out = str(tmp_path)
+    seg_dir, nocs_dir = make_frames(out, "bowl", 2, seed=0, instances=2)
+
+    import pickle
+
+    def oracle_detect_factory(f_idx_holder):
+        def detect(depth):
+            with open(f"{seg_dir}/results_real_scene1_{f_idx_holder[0]:04d}.pkl", "rb") as f:
+                gt = pickle.load(f)
+            dets = []
+            for rt, sc in zip(gt["gt_RTs"], gt["gt_scales"]):
+                s_norm = np.linalg.norm(rt[:3, :3], axis=0).mean()
+                dets.append(Detection(rt[:3, 3], rt[:3, :3] / s_norm,
+                                      sc * s_norm, rt, None, 1.0))
+            f_idx_holder[0] += 1
+            return dets
+        return detect
+
+    pred_dir = f"{out}/pred"
+    n = run_frames(range(2), seg_dir, nocs_dir, pred_dir,
+                   oracle_detect_factory([0]))
+    assert n == 4
+    iou_aps, pose_aps, _, _ = nocs_eval.main(["--pred_dir", pred_dir, "--subsample", "1"])
+    cls = SYNSET_NAMES.index("bowl")
+    assert pose_aps[cls, 2, 2] == 1.0          # 15deg 15cm
+    assert iou_aps[cls, 50] == 1.0
+
+    # empty detector -> zero AP, no crashes on the zero-length arrays
+    n = run_frames(range(2), seg_dir, nocs_dir, f"{out}/pred_empty",
+                   lambda depth: [])
+    assert n == 0
+    iou_aps, pose_aps, _, _ = nocs_eval.main(
+        ["--pred_dir", f"{out}/pred_empty", "--subsample", "1"])
+    assert pose_aps[cls, 2, 2] == 0.0
