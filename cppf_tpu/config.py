@@ -188,6 +188,9 @@ class Config:
     # correlated per-pair vote errors can't outvote the rarer independent
     # geometry; see pipeline.pose.sample_pair_indices
     pair_balance: float = 0.0
+    # center-vote pair-separation weighting exponent (see
+    # pipeline.pose.PoseConfig.pair_sep_power); inference-only
+    pair_sep_power: float = 0.0
 
     def resolved_grid_edge(self) -> int:
         if self.grid_edge:

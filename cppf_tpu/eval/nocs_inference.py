@@ -69,7 +69,7 @@ class CategoryRunner:
         repo_cfg = load_config(cls_name)
         for k in ("asym_right_votes", "asym_center_refine", "subvoxel_refine",
                   "geo_right_sign", "geo_right_dir", "filter_coplanar",
-                  "coplanar_halfspace", "pair_balance",
+                  "coplanar_halfspace", "pair_balance", "pair_sep_power",
                   "sharp_axis_votes", "aux_align_weight", "axis_topk",
                   "pose_f32"):
             setattr(self.cfg, k, getattr(repo_cfg, k))

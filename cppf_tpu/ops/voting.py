@@ -99,7 +99,14 @@ def _vote_coords(pc, preds_tr, probs, point_idxs, corner, res, dims_f, grid_shap
     cos_a, sin_a = jnp.cos(angle), jnp.sin(angle)
 
     w = jnp.maximum(probs[point_idxs[:, 0]], probs[point_idxs[:, 1]])
-    valid = rot_valid & (~degenerate)[:, None] & pair_mask[:, None]
+    valid = rot_valid & (~degenerate)[:, None]
+    if pair_mask.dtype == jnp.bool_:
+        valid = valid & pair_mask[:, None]
+    else:
+        # float pair weights (e.g. PoseConfig.pair_sep_power separation
+        # weighting): scale the vote mass instead of gating it — a zero
+        # weight is equivalent to a masked pair
+        w = w * pair_mask
 
     if halfspace is not None:
         a_ref, n_ref, hs_gate, hs_margin = halfspace

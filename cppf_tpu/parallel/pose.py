@@ -311,11 +311,21 @@ def _sharded_estimate_pose_body(mesh, rng, point_params, ppf_params, pc,
         else:
             keep = ~coplanar
             base_mask = keep | (jnp.mean(keep.astype(pc.dtype)) < 0.05)
+    # center-vote pair weights (mirrors pipeline.pose: separation weighting
+    # per PoseConfig.pair_sep_power; per-pair math replicated, so the
+    # quantile is identical on every device)
+    center_mask = base_mask
+    if pcfg.pair_sep_power > 0:
+        sep = jnp.linalg.norm(pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]],
+                              axis=-1)
+        sep_ref = jnp.quantile(sep, 0.75)
+        sep_w = jnp.clip(sep / jnp.maximum(sep_ref, 1e-6), 0.0, 1.0)
+        center_mask = base_mask * sep_w ** pcfg.pair_sep_power
     if pcfg.center_mode == "hier":
         peak_idx, grid_max = sharded_ppf_vote_peak(
             mesh, pc, preds_tr, probs, point_idxs, corner, pcfg.res,
             grid_dims, pcfg.grid_shape, n_rots=pcfg.num_rots,
-            adaptive=pcfg.adaptive_voting, pair_mask=base_mask,
+            adaptive=pcfg.adaptive_voting, pair_mask=center_mask,
             splat=pcfg.splat, max_rounds=pcfg.peak_rounds,
             halfspace=halfspace)
         T_est = corner + peak_idx.astype(pc.dtype) * pcfg.res
@@ -324,7 +334,7 @@ def _sharded_estimate_pose_body(mesh, rng, point_params, ppf_params, pc,
                                 pcfg.res, grid_dims, pcfg.grid_shape,
                                 n_rots=pcfg.num_rots,
                                 adaptive=pcfg.adaptive_voting,
-                                pair_mask=base_mask, splat=pcfg.splat,
+                                pair_mask=center_mask, splat=pcfg.splat,
                                 halfspace=halfspace)
         T_est = grid_argmax(grid, corner, pcfg.res)
         grid_max = jnp.max(grid)
@@ -360,7 +370,7 @@ def _sharded_estimate_pose_body(mesh, rng, point_params, ppf_params, pc,
             peak_idx2, _ = sharded_ppf_vote_peak(
                 mesh, pc, preds_tr, probs_c, point_idxs, corner, pcfg.res,
                 grid_dims, pcfg.grid_shape, n_rots=pcfg.num_rots,
-                adaptive=pcfg.adaptive_voting, pair_mask=base_mask,
+                adaptive=pcfg.adaptive_voting, pair_mask=center_mask,
                 splat=pcfg.splat, max_rounds=pcfg.peak_rounds,
                 halfspace=halfspace)
             T_ref = corner + peak_idx2.astype(pc.dtype) * pcfg.res
@@ -369,7 +379,7 @@ def _sharded_estimate_pose_body(mesh, rng, point_params, ppf_params, pc,
                                      corner, pcfg.res, grid_dims,
                                      pcfg.grid_shape, n_rots=pcfg.num_rots,
                                      adaptive=pcfg.adaptive_voting,
-                                     pair_mask=base_mask, splat=pcfg.splat,
+                                     pair_mask=center_mask, splat=pcfg.splat,
                                      halfspace=halfspace)
             T_ref = grid_argmax(grid2, corner, pcfg.res)
         from cppf_tpu.pipeline.pose import _protrusion_centroid

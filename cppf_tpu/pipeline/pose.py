@@ -109,6 +109,17 @@ class PoseConfig:
     # Surface-patch-stratified pair sampling exponent α (0 = uniform, the
     # reference behaviour).  See :func:`sample_pair_indices`.
     pair_balance: float = 0.0
+    # Pair-separation weighting exponent for the CENTER votes (0 = off, the
+    # reference weights all pairs equally, models/voting.py:4-67).  Weight
+    # each pair's votes by clip(sep / q75(sep), 0, 1)^α.  Rationale: dist2o
+    # (center distance off the pair axis) is locally UNOBSERVABLE for a
+    # short pair on a large flat region — the net regresses toward a prior
+    # (measured round 5: bed scale-3.6 short-quartile pairs d2o bias
+    # −947 mm vs long-quartile −139 mm; sofa/bed long pairs 2-4x lower MAD).
+    # Noise cancels in the vote; this bias does not — it drags the peak
+    # toward the visible surface (the furniture t_perp error).  Axis votes
+    # are untouched (angle-to-axis is length-independent evidence).
+    pair_sep_power: float = 0.0
     # Weight each pair's cone votes on the axis sphere by the confidence
     # (max softmax prob) of its predicted angle distribution.  On
     # near-revolution bodies most pairs' angle-to-right is azimuth-ambiguous
@@ -226,6 +237,7 @@ class PoseConfig:
             filter_coplanar=cfg.filter_coplanar,
             coplanar_halfspace=cfg.coplanar_halfspace,
             pair_balance=cfg.pair_balance,
+            pair_sep_power=cfg.pair_sep_power,
             sharp_axis_votes=cfg.sharp_axis_votes,
             aux_align_weight=cfg.aux_align_weight,
             asym_right_votes=cfg.asym_right_votes,
@@ -579,11 +591,21 @@ def _vote_pose_body(
             # vote is worse than a mirrored one).
             keep = ~coplanar
             base_mask = keep | (jnp.mean(keep.astype(pc.dtype)) < 0.05)
+    # center-vote pair weights: the coplanar gate (bool), optionally scaled
+    # by the separation weight (see PoseConfig.pair_sep_power) — float pair
+    # weights scale vote mass inside _vote_coords
+    center_mask = base_mask
+    if pcfg.pair_sep_power > 0:
+        sep = jnp.linalg.norm(pc[point_idxs[:, 0]] - pc[point_idxs[:, 1]],
+                              axis=-1)
+        sep_ref = jnp.quantile(sep, 0.75)
+        sep_w = jnp.clip(sep / jnp.maximum(sep_ref, 1e-6), 0.0, 1.0)
+        center_mask = base_mask * sep_w ** pcfg.pair_sep_power
     if pcfg.center_mode == "hier":
         peak_idx, grid_max = ppf_vote_peak(
             pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
             pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
-            splat=pcfg.splat, max_rounds=pcfg.peak_rounds, pair_mask=base_mask,
+            splat=pcfg.splat, max_rounds=pcfg.peak_rounds, pair_mask=center_mask,
             halfspace=halfspace,
         )
         T_est = corner + peak_idx.astype(pc.dtype) * pcfg.res
@@ -591,7 +613,7 @@ def _vote_pose_body(
         grid = ppf_vote(
             pc, preds_tr, probs, point_idxs, corner, pcfg.res, grid_dims,
             pcfg.grid_shape, n_rots=pcfg.num_rots, adaptive=pcfg.adaptive_voting,
-            splat=pcfg.splat, pair_mask=base_mask, halfspace=halfspace,
+            splat=pcfg.splat, pair_mask=center_mask, halfspace=halfspace,
         )
         T_est = grid_argmax(grid, corner, pcfg.res)
         grid_max = jnp.max(grid)
@@ -634,7 +656,7 @@ def _vote_pose_body(
                 pc, preds_tr, probs_c, point_idxs, corner, pcfg.res, grid_dims,
                 pcfg.grid_shape, n_rots=pcfg.num_rots,
                 adaptive=pcfg.adaptive_voting, splat=pcfg.splat,
-                max_rounds=pcfg.peak_rounds, pair_mask=base_mask,
+                max_rounds=pcfg.peak_rounds, pair_mask=center_mask,
                 halfspace=halfspace,
             )
             T_ref = corner + peak_idx2.astype(pc.dtype) * pcfg.res
@@ -643,7 +665,7 @@ def _vote_pose_body(
                 pc, preds_tr, probs_c, point_idxs, corner, pcfg.res, grid_dims,
                 pcfg.grid_shape, n_rots=pcfg.num_rots,
                 adaptive=pcfg.adaptive_voting, splat=pcfg.splat,
-                pair_mask=base_mask, halfspace=halfspace,
+                pair_mask=center_mask, halfspace=halfspace,
             )
             T_ref = grid_argmax(grid2, corner, pcfg.res)
         # Take only the azimuthal component of the correction: the bias acts

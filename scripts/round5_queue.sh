@@ -32,23 +32,23 @@ run () {
 #    (The interrupted r3 ep18 params_best turned out to have no array
 #    payload in git — unreadable; the complete r2-era 200-epoch 32-bin
 #    checkpoint is restored as the production fallback meanwhile.)
-run bookshelf_r5 category=bookshelf out_dir=checkpoints/bookshelf_r5
+run bookshelf_r5 category=bookshelf out_dir=checkpoints/bookshelf_r5 resume=true
 
 # 2. bathtub at the repo config's 64 tr bins (production is a stale 32-bin
 #    head) -> experiment dir, promote after eval.
-run bathtub_r5 category=bathtub out_dir=checkpoints/bathtub_r5
+run bathtub_r5 category=bathtub out_dir=checkpoints/bathtub_r5 resume=true
 
 # 3. table desk-variant fresh retrain (production is the restored r3
 #    pre-desk-variant fallback).  right_aux_boost=5: desks carry a
 #    geometric sign cue and r4 showed the 0.7-of-9.0 BCE starves.
 run table_r5desk category=table out_dir=checkpoints/table_r5desk \
-    right_aux_boost=5
+    right_aux_boost=5 resume=true
 
 # 4+5. mug/camera right-axis sign campaign (VERDICT item 4) under decode
 #      selection.
 run mug_r5boost category=mug out_dir=checkpoints/mug_r5boost \
-    right_aux_boost=5
+    right_aux_boost=5 resume=true
 run camera_r5boost category=camera out_dir=checkpoints/camera_r5boost \
-    right_aux_boost=5
+    right_aux_boost=5 resume=true
 
 echo R5_QUEUE_DONE

@@ -488,3 +488,41 @@ def test_sample_pair_indices_uniform_and_stratified(rng):
     # uniform gives ~11% leg; the top plane is ONE orientation stratum while
     # the leg spans many azimuth bins, so equalisation flips the balance
     assert frac_leg > 0.5, frac_leg
+
+def test_pair_sep_power_smoke(rng):
+    """pair_sep_power>0 (center-vote separation weighting) keeps the oracle
+    pose recovery intact and demonstrably reaches the vote kernel: short
+    pairs' mass is down-weighted, so the peak height strictly drops vs the
+    unweighted vote of the same pairs."""
+    cfg = load_config("bottle")
+    mesh, pc_cam, R_true, T_true = _posed_instance(rng, "bottle")
+    lo, hi = mesh_bounds(mesh)
+    bound = (hi - lo).copy()
+    bound[[0, 2]] = bound[[2, 0]]
+
+    pad = np.zeros((4096, 3), np.float32)
+    pad[:4000] = pc_cam
+    pre = preprocess_cloud(jax.random.PRNGKey(1), jnp.array(pad), 4000, cfg.res,
+                           npoint_pad=2048, knn=cfg.knn, jitter=False)
+    n = int(pre.n_valid)
+    pc = np.asarray(pre.pc)
+    normals = np.asarray(pre.normals)
+
+    idxs = rng.integers(0, n, size=(20000, 2)).astype(np.int32)
+    preds = oracle_pair_predictions(pc, normals, idxs, T_true, R_true, bound,
+                                    1.0, cfg)
+    args = (pre.pc, pre.normals, jnp.array(idxs), jnp.array(preds),
+            pre.n_valid)
+
+    base = PoseConfig.from_config(cfg, n_pairs=20000)
+    grid_maxes = {}
+    for power in (0.0, 2.0):
+        pcfg = PoseConfig(**{**base.__dict__, "pair_sep_power": power})
+        res = vote_pose(jax.random.PRNGKey(2), *args,
+                        jnp.array(pcfg.sphere_points()), pcfg)
+        T_err = np.linalg.norm(np.asarray(res.T) - T_true)
+        assert T_err < 2.5 * cfg.res, (power, T_err)
+        up_true = R_true @ np.array([0, 1.0, 0])
+        assert abs(float(np.asarray(res.up) @ up_true)) > np.cos(np.deg2rad(5))
+        grid_maxes[power] = float(res.grid_max)
+    assert grid_maxes[2.0] < grid_maxes[0.0] * 0.98, grid_maxes

@@ -427,3 +427,24 @@ def test_ppf_vote_peak_halfspace_matches_grid(rng, splat):
     np.testing.assert_allclose(float(val), grid.max(), rtol=2e-5)
     np.testing.assert_allclose(grid[tuple(np.asarray(idx))], grid.max(),
                                rtol=2e-5)
+
+
+def test_ppf_vote_float_pair_weights(rng):
+    """Float pair_mask scales vote mass: {0,1} floats match the bool mask
+    exactly, and 0.5 weights exactly halve each pair's contribution."""
+    pc, idxs, corner, res, dims, preds_tr, _ = _instance(rng)
+    probs = np.ones(pc.shape[0], np.float32)
+    gshape = (int(dims[0]) + 3, int(dims[1]) + 2, int(dims[2]) + 5)
+    mask_b = rng.uniform(size=len(idxs)) > 0.3
+    common = dict(n_rots=24, chunk=64)
+    args = (jnp.array(pc), jnp.array(preds_tr), jnp.array(probs),
+            jnp.array(idxs), jnp.array(corner), res, jnp.array(dims), gshape)
+    g_bool = ppf_vote(*args, pair_mask=jnp.array(mask_b), **common)
+    g_float = ppf_vote(*args, pair_mask=jnp.array(mask_b.astype(np.float32)),
+                       **common)
+    np.testing.assert_allclose(np.asarray(g_bool), np.asarray(g_float),
+                               atol=1e-6)
+    g_half = ppf_vote(*args, pair_mask=jnp.array(0.5 * mask_b.astype(np.float32)),
+                      **common)
+    np.testing.assert_allclose(np.asarray(g_half), 0.5 * np.asarray(g_bool),
+                               atol=1e-6)
