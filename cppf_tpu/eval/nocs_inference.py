@@ -56,7 +56,14 @@ class CategoryRunner:
         # re-read the training-time snapshot like the reference
         # (nocs/inference.py:81); fall back to the repo config
         self.cfg = load_config(cls_name, snapshot=snap if os.path.exists(snap) else None)
-        self.params = maybe_load_any(path, name="params_best") or maybe_load_any(path, name="best")
+        # ckpt_name selects which saved state to load (e.g. "best_decode",
+        # the decode-quality-selected state) — used by the promotion
+        # head-to-head evals; default is the reference's best-loss state
+        name = getattr(args, "ckpt_name", None)
+        if name:
+            self.params = maybe_load_any(path, name=name)
+        else:
+            self.params = maybe_load_any(path, name="params_best") or maybe_load_any(path, name="best")
         if self.params is None:
             raise FileNotFoundError(f"no checkpoint for {cls_name} under {path}")
         self.cfg.num_rots = args.num_rots

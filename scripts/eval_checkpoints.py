@@ -31,7 +31,7 @@ def _sign_cue(verts, faces, axis, diag):
 
 
 def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
-                  overrides: dict | None = None):
+                  overrides: dict | None = None, ckpt_name: str | None = None):
     """Depth-rendered single-object views (the training distribution), pose
     errors against the known GT.  Frame conventions match
     scripts/synthetic_benchmark.py::make_frames / the NOCS driver."""
@@ -48,6 +48,7 @@ def eval_category(category: str, ckpt_path: str, n_poses: int, seed: int = 0,
         angle_prec = 1.5
         adaptive_voting = False
 
+    A.ckpt_name = ckpt_name
     runner = CategoryRunner(category, ckpt_path, A)
     if overrides:
         # A/B harness: override inference-side flags (coplanar handling,
@@ -168,6 +169,10 @@ def main():
     ap.add_argument("--ckpt_path", default="checkpoints")
     ap.add_argument("--n_poses", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--name", default=None,
+                    help="checkpoint state to load (e.g. best_decode for the "
+                         "decode-selected arm of a promotion head-to-head); "
+                         "default params_best/best")
     ap.add_argument("--set", dest="overrides", nargs="*", default=[],
                     metavar="KEY=VAL",
                     help="inference-flag overrides for A/B runs, e.g. "
@@ -192,7 +197,7 @@ def main():
     results = {}
     for c in cats:
         try:
-            r = eval_category(c, args.ckpt_path, args.n_poses, args.seed,
+            r = eval_category(c, args.ckpt_path, args.n_poses, args.seed, ckpt_name=args.name,
                               overrides=overrides or None)
         except FileNotFoundError as e:
             print(f"{c}: no checkpoint ({e})")
