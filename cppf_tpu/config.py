@@ -40,6 +40,13 @@ class Config:
     """
 
     category: str = "bowl"
+    # Master training seed: init params, data stream, and per-epoch rng all
+    # derive from it, so a run is a pure function of (code, config) —
+    # change `seed` to draw an independent training trajectory (re-roll).
+    # The reference has no seed control at all (torch default seeding,
+    # reference train.py:17-122), so two reference runs differ implicitly;
+    # here variance re-rolls are explicit and reproducible.
+    seed: int = 0
     batch_size: int = 1
     res: float = 5e-3
     max_epoch: int = 200

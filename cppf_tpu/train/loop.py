@@ -123,7 +123,7 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
     os.makedirs(out_dir, exist_ok=True)
     cfg.save(os.path.join(out_dir, "config.yaml"))  # snapshot for inference
 
-    ds = dataset or ShapeNetRenderDataset(cfg, seed=0)
+    ds = dataset or ShapeNetRenderDataset(cfg, seed=cfg.seed)
     if dataset is None:
         # multi-host pod: disjoint model shard + decorrelated RNG per process
         # (identity on one host; SURVEY §7 step 8)
@@ -134,7 +134,7 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
         ds.epoch_len = epoch_len
     statics = TrainStatics.from_config(cfg)
     tx = make_optimizer(cfg)
-    state = init_train_state(jax.random.PRNGKey(0), cfg, cfg.npoint_pad)
+    state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg, cfg.npoint_pad)
     start_epoch = 0
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     resume_name = next((n for n in ("last", "best")
@@ -160,7 +160,7 @@ def train(cfg: Config, out_dir: str | None = None, epoch_len: int | None = None,
         log.info("warm-started params from %s/params_best (epoch %d, fresh optimizer)",
                  out_dir, start_epoch)
 
-    rng = jax.random.fold_in(jax.random.PRNGKey(1), start_epoch)
+    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start_epoch)
     best_loss = np.inf
     best_zs = -np.inf
     best_dv = np.inf

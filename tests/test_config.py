@@ -46,3 +46,17 @@ def test_snapshot_priority(tmp_path):
     cfg2 = load_config("bowl", snapshot=str(tmp_path / "snap.yaml"))
     assert cfg2.category == "can"
     assert cfg2.res == 0.123
+
+
+def test_seed_reroll(tmp_path):
+    """cfg.seed drives the data stream (variance re-rolls) and survives the
+    snapshot roundtrip; default 0 keeps historical runs bit-identical."""
+    from cppf_tpu.data.shapenet import ShapeNetRenderDataset
+
+    cfg = load_config("bowl", parse_cli_overrides(["seed=7"]))
+    assert cfg.seed == 7
+    cfg.save(str(tmp_path / "snap.yaml"))
+    assert load_config("bowl", snapshot=str(tmp_path / "snap.yaml")).seed == 7
+    a = ShapeNetRenderDataset(cfg, seed=0).sample().pc
+    b = ShapeNetRenderDataset(cfg, seed=7).sample().pc
+    assert a.shape != b.shape or not np.allclose(a, b)
