@@ -23,18 +23,31 @@ run () {
   echo "=== $name done rc=$rc [$(date +%H:%M:%S)] ==="
 }
 
+# All re-rolls run decode-val on 10 held-out poses instead of the default
+# 6: the camera h2h showed a 6-draw median is unstable for sign-sensitive
+# scores (same state scored 13 deg on one draw set, 174 on another).
+
 # sofa: up 23.8 deg is the weakest non-overridden up axis in the f32 record
 # (other furniture sits at ~5 deg); T 208 mm.  An independent draw under
 # decode-val selection is the only untried lever (r4 taught that draw
 # variance dominates at this margin).
 [ -z "$SKIP_SOFA" ] && \
-  run sofa_r5 category=sofa out_dir=checkpoints/sofa_r5 seed=1 resume=true
+  run sofa_r5 category=sofa out_dir=checkpoints/sofa_r5 seed=1 resume=true \
+      decode_val_poses=10
+
+# table: the promoted desk-variant retrain took T 315->155 mm; the VERDICT
+# bar is <120.  A second independent draw is the cheapest shot at it.
+# (Ordered before bookshelf: if the wall clock cuts the tail, the <120 mm
+# chase matters more than a second bookshelf draw.)
+[ -z "$SKIP_TABLE" ] && \
+  run table_r5desk2 category=table out_dir=checkpoints/table_r5desk2 \
+      right_aux_boost=5 seed=2 resume=true decode_val_poses=10
 
 # bookshelf: the r5 retrain decodes up at 25-40 deg with large swings
 # between adjacent checkpoints (decode_metrics.jsonl) — another draw may
 # land a stable-up state.
 [ -z "$SKIP_BOOKSHELF" ] && \
   run bookshelf_r5b category=bookshelf out_dir=checkpoints/bookshelf_r5b \
-      seed=1 resume=true
+      seed=1 resume=true decode_val_poses=10
 
 echo R5_BUFFER_DONE

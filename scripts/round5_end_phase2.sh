@@ -28,10 +28,9 @@ timeout 2400 python scripts/zero_shot_benchmark.py --n_frames 8 --instances 2 \
   --clutter 1 --out_dir /tmp/zs_bench_clutter >> $OUT/zs_map.log 2>&1
 tail -8 $OUT/zs_map.log
 
-echo "=== synth NOCS mAP: retrained categories [$(date +%H:%M:%S)] ==="
-timeout 3000 python scripts/synthetic_benchmark.py --category mug,camera \
-  --n_frames 12 --out_dir /tmp/synth_bench_r5 > $OUT/synth_nocs_r5.log 2>&1
-tail -20 $OUT/synth_nocs_r5.log
+# (the planned synth NOCS mug/camera re-run was dropped: neither boost
+# retrain was promoted, so the committed record rows still measure the
+# production weights)
 
 echo "=== SUN synthetic mAP: missing/changed rows [$(date +%H:%M:%S)] ==="
 for c in bookshelf bathtub table; do
