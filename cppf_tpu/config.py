@@ -112,6 +112,14 @@ class Config:
     # BCE); fixes wrong-plane-normal axis locks on plane-dominated bodies.
     # 1 = reference argmax behaviour; see PoseConfig.axis_topk.
     axis_topk: int = 1
+    # Inference-side, host post-step: anchor the voted center against the
+    # observed instance extents along the voted box axes
+    # (eval/anchor.py::anchor_box_t — silhouette midpoints + camera-facing
+    # face anchors).  Addresses the vote decode's center bias toward
+    # visible surface mass; off by default, enabled per category by A/B
+    # (the anchor can hurt when the instance is externally occluded or
+    # image-clipped and the voted center is already good).
+    anchor_t: bool = False
 
     # Train-side: additionally scale the right-bit aux weight by the pair's
     # radial-asymmetry score (core/targets.py::radial_asymmetry) so only

@@ -78,7 +78,7 @@ class CategoryRunner:
                   "geo_right_sign", "geo_right_dir", "filter_coplanar",
                   "coplanar_halfspace", "pair_balance", "pair_sep_power",
                   "sharp_axis_votes", "aux_align_weight", "axis_topk",
-                  "pose_f32"):
+                  "pose_f32", "anchor_t"):
             setattr(self.cfg, k, getattr(repo_cfg, k))
         self.pcfg = PoseConfig.from_config(self.cfg, scale_multiplier=2.0)
         self.sphere = jnp.array(self.pcfg.sphere_points())
@@ -113,7 +113,24 @@ class CategoryRunner:
             r2, self.params["point"], self.params["ppf"], pre.pc, pre.normals,
             pre.n_valid, self.sphere, self.pcfg, nbr_idx=pre.nbr_idx, **kwargs,
         )
+        if cfg.anchor_t:
+            out = self._anchor(out, pc_raw)
         return out, pre
+
+    def _anchor(self, out, pc_raw: np.ndarray):
+        """Host post-step: observed-extent anchoring of the voted center
+        (``cfg.anchor_t`` — see eval/anchor.py for the mechanism and the
+        measured vote-decode center bias it corrects)."""
+        from cppf_tpu.eval.anchor import anchor_box_t
+
+        scale = np.asarray(out.scale, np.float64)
+        s_norm = float(np.linalg.norm(scale))
+        T_new = anchor_box_t(np.asarray(out.T), np.asarray(out.R), scale,
+                             np.asarray(pc_raw),
+                             clip=max(0.05, 0.15 * s_norm))
+        RT = np.asarray(out.RT).copy()
+        RT[:3, 3] = T_new
+        return out._replace(T=T_new.astype(np.float32), RT=RT)
 
     def estimate_batch(self, rng, pc_list, pad_to: int | None = None):
         """One jitted program for a whole frame's crops of this category.
@@ -158,6 +175,20 @@ class CategoryRunner:
             pre.normals, pre.n_valid, self.sphere, self.pcfg,
             nbr_idxs=pre.nbr_idx,
         )
+        if cfg.anchor_t:
+            from cppf_tpu.eval.anchor import anchor_box_t
+
+            T_all = np.asarray(out.T).astype(np.float32)
+            RT_all = np.asarray(out.RT).copy()
+            R_all = np.asarray(out.R)
+            s_all = np.asarray(out.scale, np.float64)
+            for i in range(B):
+                s_norm = float(np.linalg.norm(s_all[i]))
+                T_all[i] = anchor_box_t(T_all[i], R_all[i], s_all[i],
+                                        np.asarray(pc_list[i]),
+                                        clip=max(0.05, 0.15 * s_norm))
+                RT_all[i, :3, 3] = T_all[i]
+            out = out._replace(T=T_all, RT=RT_all)
         return out, pre
 
 

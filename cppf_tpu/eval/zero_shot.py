@@ -440,13 +440,14 @@ def zero_shot_detect(
     seed: int = 0,
     predict_fn=None,
     nms_radius: float = 0.15,
+    anchor_t: bool = True,
 ) -> List[Detection]:
     hm = zero_shot_heatmap(depth, params, cfg, intrinsics, n_pairs, num_rots,
                            seed, predict_fn)
     return detect_from_heatmap(hm, cfg, num_rots=num_rots,
                                angle_tol=angle_tol, prop_thresh=prop_thresh,
                                contrib_thresh=contrib_thresh, seed=seed,
-                               nms_radius=nms_radius)
+                               nms_radius=nms_radius, anchor_t=anchor_t)
 
 
 def detect_from_heatmap(
@@ -458,8 +459,16 @@ def detect_from_heatmap(
     contrib_thresh: int = 12,
     seed: int = 0,
     nms_radius: float = 0.15,
+    anchor_t: bool = True,
 ) -> List[Detection]:
-    """Cells 9-11 given a precomputed :class:`HeatmapState` (cells 3-8)."""
+    """Cells 9-11 given a precomputed :class:`HeatmapState` (cells 3-8).
+
+    ``anchor_t`` (default on, an addition over the reference notebook)
+    replaces the raw heatmap-peak center with the observed-extent box
+    anchor (:mod:`cppf_tpu.eval.anchor`) — the regression decode's center
+    bias toward visible surface mass (~15-40 mm here) otherwise zeroes the
+    3D-IoU of detections whose pose is fine.
+    """
     import jax.numpy as jnp
 
     from cppf_tpu.core.geometry import fibonacci_sphere
@@ -532,6 +541,10 @@ def detect_from_heatmap(
         R_est = np.stack([right, up, np.cross(right, up)], -1)
 
         pred_scale = np.mean(np.exp(preds_scale[pmask][keep]) * np.asarray(cfg.scale_mean) * 2, 0)
+        if anchor_t:
+            from cppf_tpu.eval.anchor import anchor_box_t
+
+            T_est = anchor_box_t(T_est, R_est, pred_scale, pc[pc_sel])
         s_norm = np.linalg.norm(pred_scale)
         RT = np.eye(4)
         RT[:3, :3] = R_est * s_norm

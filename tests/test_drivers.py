@@ -279,3 +279,41 @@ def test_nocs_laptop_override_chain(tmp_path, rng):
     R = res["pred_RTs"][0][:3, :3]
     s = np.linalg.norm(R[:, 0])
     np.testing.assert_allclose(R.T @ R / s**2, np.eye(3), atol=1e-4)
+
+
+def test_runner_anchor_post_step():
+    """CategoryRunner._anchor: observed-extent anchoring rewrites T and the
+    RT translation column consistently, leaves everything else untouched
+    (the cfg.anchor_t host post-step shared by the NOCS/SUN drivers)."""
+    import numpy as np
+
+    from cppf_tpu.eval.nocs_inference import CategoryRunner
+    from cppf_tpu.pipeline.pose import PoseResult
+
+    rng = np.random.default_rng(0)
+    center = np.array([0.05, -0.1, 1.1])
+    R = np.eye(3, dtype=np.float32)
+    scale = np.array([0.2, 0.08, 0.2], np.float32)
+    # full box surface observed -> every axis midpoint-anchors
+    pts = []
+    for axis in range(3):
+        for side in (-0.5, 0.5):
+            p = rng.uniform(-0.5, 0.5, (600, 3))
+            p[:, axis] = side
+            pts.append(p)
+    pts = (np.concatenate(pts) * scale + center).astype(np.float32)
+
+    T_biased = (center + np.array([0.02, -0.02, 0.015])).astype(np.float32)
+    s_norm = float(np.linalg.norm(scale))
+    RT = np.eye(4, dtype=np.float32)
+    RT[:3, :3] = R * s_norm
+    RT[:3, 3] = T_biased
+    out = PoseResult(T=T_biased, R=R, scale=scale, RT=RT,
+                     scale_unit=scale / s_norm, up=R[:, 1], right=R[:, 0],
+                     n_filtered=np.int32(1000), grid_max=np.float32(1.0))
+
+    fixed = CategoryRunner._anchor(None, out, pts)
+    assert np.linalg.norm(np.asarray(fixed.T) - center) < 0.004
+    assert np.allclose(fixed.RT[:3, 3], fixed.T)
+    assert np.allclose(fixed.RT[:3, :3], RT[:3, :3])
+    assert np.allclose(fixed.scale, scale) and np.allclose(fixed.R, R)

@@ -19,9 +19,13 @@ def _two_object_depth():
         v = mesh.vertices * 1.5 + c
         d = native.rasterize_depth(v, mesh.faces, K[0, 0], K[1, 1], K[0, 2], K[1, 2], 640, 480)
         depth = np.where((depth == 0) | ((d > 0) & (d < depth)), d, depth)
-    # centers in the zero-shot cloud frame (x unchanged, y flipped twice→, z>0):
-    # backproject negates x,y; the script re-negates x,y; z stays +depth.
-    centers_cloud = [np.array([c[0], c[1], -c[2]]) for c in centers_render]
+    # centers in the zero-shot cloud frame: the raster projects y with the
+    # image convention (the synthetic generators render v * [1,-1,-1] for
+    # this reason), so the recovered cloud is (x_render, -y_render, +depth)
+    # — y IS negated end-to-end, x is negated twice (net unchanged).
+    # (A previous revision had +y here; the oracle then voted 2·y off the
+    # real surface, which the observed-extent anchor exposed.)
+    centers_cloud = [np.array([c[0], -c[1], -c[2]]) for c in centers_render]
     return (depth * 1000).astype(np.uint16), centers_cloud, mesh
 
 
@@ -223,3 +227,74 @@ def test_zero_shot_benchmark_plumbing(tmp_path):
     iou_aps, pose_aps, _, _ = nocs_eval.main(
         ["--pred_dir", f"{out}/pred_empty", "--subsample", "1"])
     assert pose_aps[cls, 2, 2] == 0.0
+
+
+def _box_surface(center, R, scale, n=4000, rng=None, faces="all"):
+    """Points on the surface of an oriented box (full extents ``scale``)."""
+    rng = rng or np.random.default_rng(0)
+    pts = []
+    per = max(n // 6, 1)
+    for axis in range(3):
+        for side in (-1.0, 1.0):
+            if faces != "all" and (axis, side) not in faces:
+                continue
+            p = rng.uniform(-0.5, 0.5, (per, 3))
+            p[:, axis] = 0.5 * side
+            pts.append(p)
+    pts = np.concatenate(pts) * np.asarray(scale)
+    return pts @ np.asarray(R).T + np.asarray(center)
+
+
+def test_anchor_box_t_midpoint_recovers_center(rng):
+    """Fully observed box: every axis midpoint-anchors, recovering the true
+    center from a biased vote regardless of scale error."""
+    from cppf_tpu.eval.anchor import anchor_box_t
+
+    center = np.array([0.1, -0.2, 1.2])
+    th = 0.4
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]])
+    scale = np.array([0.16, 0.05, 0.14])
+    pts = _box_surface(center, R, scale, rng=rng)
+    T_biased = center + np.array([0.02, -0.025, 0.018])
+    # midpoint anchoring must not depend on the predicted extent being right
+    out = anchor_box_t(T_biased, R, scale * 0.9, pts)
+    assert np.linalg.norm(out - center) < 0.004, out - center
+
+
+def test_anchor_box_t_face_anchor_partial_view(rng):
+    """Front half of a box observed (single view along +z): the depth axis
+    face-anchors its camera-facing extreme, the fully-spanned lateral axes
+    midpoint-anchor, and a truncated lateral axis is left alone."""
+    from cppf_tpu.eval.anchor import anchor_box_t
+
+    center = np.array([0.0, 0.0, 1.0])        # camera at origin looks +z
+    R = np.eye(3)
+    scale = np.array([0.2, 0.06, 0.2])
+    pts = _box_surface(center, R, scale, rng=rng)
+    front = pts[pts[:, 2] <= center[2]]        # back half self-occluded
+    T_biased = center + np.array([0.02, 0.02, -0.02])
+    out = anchor_box_t(T_biased, R, scale, front)
+    assert np.linalg.norm(out - center) < 0.005, out - center
+
+    # externally occluded lateral side (-x half missing): x must NOT be
+    # face-anchored (its visible extreme is an occlusion edge, and x is
+    # perpendicular to the view ray) — the voted x survives
+    occluded = front[front[:, 0] >= center[0] - 0.02]
+    out = anchor_box_t(T_biased, R, scale, occluded)
+    assert abs(out[0] - T_biased[0]) < 1e-9
+    assert abs(out[2] - center[2]) < 0.005
+
+
+def test_anchor_box_t_guards(rng):
+    """Thin masks leave T unchanged; corrections are clipped."""
+    from cppf_tpu.eval.anchor import anchor_box_t
+
+    T = np.array([0.0, 0.0, 1.0])
+    R = np.eye(3)
+    scale = np.array([0.1, 0.1, 0.1])
+    out = anchor_box_t(T, R, scale, np.zeros((3, 3)))
+    assert np.allclose(out, T)
+    # a mask wildly off to one side cannot drag T further than clip per axis
+    pts = _box_surface(T + np.array([0.5, 0.0, 0.0]), R, scale, rng=rng)
+    out = anchor_box_t(T, R, scale, pts, clip=0.05)
+    assert abs(out[0] - T[0]) <= 0.05 + 1e-9
