@@ -50,4 +50,14 @@ run () {
   run bookshelf_r5b category=bookshelf out_dir=checkpoints/bookshelf_r5b \
       seed=1 resume=true decode_val_poses=10
 
+# laptop (tail slot, may be cut by the clock): voting-only up is 50.7°
+# and r4's up_rot_base retrain didn't move it — but decode-val selection
+# (which picks the best-decoding checkpoint along the trajectory, exactly
+# what bookshelf's 8↔164° up swings needed) has never been tried on
+# laptop.  Production overrides up via segmenter+RANSAC either way;
+# promotion only on a head-to-head win.
+[ -z "$SKIP_LAPTOP" ] && \
+  run laptop_r5 category=laptop out_dir=checkpoints/laptop_r5 \
+      seed=1 resume=true decode_val_poses=10
+
 echo R5_BUFFER_DONE
